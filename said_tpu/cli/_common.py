@@ -1,0 +1,96 @@
+"""Shared CLI plumbing: model construction and checkpoint loading."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from said_tpu.models.said import SAID
+from said_tpu.models.vae import BCVAE
+
+
+def build_said_model(
+    prediction_type: str = "epsilon",
+    feature_dim: int = -1,
+    dtype: str = "float32",
+    attn_impl: str = "auto",
+) -> SAID:
+    """Construct the SAID model with CLI-level options.
+
+    attn_impl 'auto': banded cross-attention everywhere; dense
+    self-attention on CPU, Pallas flash on TPU for long sequences.
+    """
+    dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+    if dt == jnp.float32:
+        # Full-precision matmuls/convs in fp32 mode (jax's default allows
+        # reduced-precision accumulation, which breaks <1e-3 CSV parity).
+        jax.config.update("jax_default_matmul_precision", "highest")
+    if attn_impl == "auto":
+        self_impl = "flash" if jax.default_backend() == "tpu" else "dense"
+        cross_impl = "banded"
+    elif attn_impl == "dense":
+        self_impl, cross_impl = "dense", "dense"
+    else:
+        self_impl, cross_impl = attn_impl, "banded"
+    return SAID(
+        feature_dim=feature_dim,
+        prediction_type=prediction_type,
+        dtype=dt,
+        self_attn_impl=self_impl,
+        cross_attn_impl=cross_impl,
+    )
+
+
+def init_said_params(model: SAID, seed: int = 0):
+    """Random-initialize all SAID params (used when no weights given).
+
+    The denoise and audio-embedding paths touch disjoint submodules, so
+    both are initialized and their param trees merged.
+    """
+    rng = jax.random.PRNGKey(seed)
+    wave = jnp.zeros((1, 3200), jnp.float32)
+    sample = jnp.zeros((1, 12, model.in_channels), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    emb_dim = model.feature_dim if model.feature_dim > 0 else model.audio_config.hidden_size
+    ctx = jnp.zeros((1, 12, emb_dim), jnp.float32)
+
+    params = dict(model.init({"params": rng}, sample, t, ctx)["params"])
+    audio_params = dict(
+        model.init({"params": rng}, wave, 12, method=SAID.get_audio_embedding)["params"]
+    )
+    for k, v in audio_params.items():
+        params.setdefault(k, v)
+    return params
+
+
+def load_said_params(weights_path: Optional[str], model: SAID, seed: int = 0):
+    """Load params from a torch .pth / orbax dir, or random-init."""
+    if not weights_path:
+        return init_said_params(model, seed)
+    if os.path.isdir(weights_path):
+        from said_tpu.core.checkpoint import restore_train_state
+
+        target = init_said_params(model, seed)
+        return restore_train_state(weights_path, target)
+    from said_tpu.utils.torch_import import convert_said, load_state_dict
+
+    return convert_said(load_state_dict(weights_path))
+
+
+def load_vae(weights_path: Optional[str], seed: int = 0) -> Tuple[BCVAE, dict, dict]:
+    """Build the BCVAE and load torch weights (or random-init)."""
+    model = BCVAE()
+    if weights_path and os.path.isfile(weights_path):
+        from said_tpu.utils.torch_import import convert_bcvae, load_state_dict
+
+        params, batch_stats = convert_bcvae(load_state_dict(weights_path))
+        return model, params, batch_stats
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(
+        {"params": rng}, jnp.zeros((1, 120, 32), jnp.float32), use_noise=False
+    )
+    return model, dict(variables["params"]), dict(variables.get("batch_stats", {}))

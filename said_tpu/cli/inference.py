@@ -1,0 +1,129 @@
+"""Single-WAV → blendshape-coefficient CSV inference.
+
+Flag-compatible with the reference ``script/inference.py`` (same
+defaults: 1000 steps, guidance 2.0, eta 0, fps 60; supports
+``--init_sample_path``/``--mask_path`` masked editing and
+intermediate-output dumps).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from said_tpu.cli._common import build_said_model, load_said_params
+from said_tpu.data.blendvoca import BLENDSHAPE_CLASSES
+from said_tpu.models.said import SAIDPipeline, process_audio
+from said_tpu.utils.audio import fit_audio_unet, load_audio
+from said_tpu.utils.blendshape import (
+    load_blendshape_coeffs,
+    save_blendshape_coeffs,
+    save_blendshape_coeffs_image,
+)
+
+
+def add_arguments(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--weights_path", type=str, default="../BlendVOCA/SAiD.pth")
+    parser.add_argument(
+        "--audio_path",
+        type=str,
+        default="../BlendVOCA/audio/FaceTalk_170731_00024_TA/sentence01.wav",
+    )
+    parser.add_argument("--output_path", type=str, default="../out.csv")
+    parser.add_argument("--output_image_path", type=str, default="../out.png")
+    parser.add_argument("--intermediate_dir", type=str, default="../interm")
+    parser.add_argument("--prediction_type", type=str, default="epsilon")
+    parser.add_argument("--save_image", type=bool, default=False)
+    parser.add_argument("--save_intermediate", type=bool, default=False)
+    parser.add_argument("--num_steps", type=int, default=1000)
+    parser.add_argument("--strength", type=float, default=1.0)
+    parser.add_argument("--guidance_scale", type=float, default=2.0)
+    parser.add_argument("--guidance_rescale", type=float, default=0.0)
+    parser.add_argument("--eta", type=float, default=0.0)
+    parser.add_argument("--fps", type=int, default=60)
+    parser.add_argument("--divisor_unet", type=int, default=1)
+    parser.add_argument("--unet_feature_dim", type=int, default=-1)
+    parser.add_argument("--device", type=str, default="", help="ignored (jax selects)")
+    parser.add_argument("--init_sample_path", type=str)
+    parser.add_argument("--mask_path", type=str)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--dtype", type=str, default="float32", choices=["float32", "bfloat16"]
+    )
+    parser.add_argument(
+        "--attn_impl", type=str, default="auto", choices=["auto", "dense", "flash"]
+    )
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Inference the lipsync using the SAiD model (TPU-native)"
+    )
+    add_arguments(parser)
+    args = parser.parse_args(argv)
+
+    model = build_said_model(
+        prediction_type=args.prediction_type,
+        feature_dim=args.unet_feature_dim,
+        dtype=args.dtype,
+        attn_impl=args.attn_impl,
+    )
+    params = load_said_params(
+        args.weights_path if os.path.exists(args.weights_path) else None, model,
+        seed=args.seed,
+    )
+    pipeline = SAIDPipeline(model, params)
+
+    waveform = load_audio(args.audio_path, pipeline.sampling_rate)
+    fit = fit_audio_unet(waveform, pipeline.sampling_rate, args.fps, args.divisor_unet)
+    waveform_processed = process_audio(fit.waveform)
+    window_len = fit.window_size
+
+    init_samples = None
+    if args.init_sample_path:
+        init_samples = load_blendshape_coeffs(args.init_sample_path)[None]
+    mask = None
+    if args.mask_path:
+        mask = load_blendshape_coeffs(args.mask_path)[None]
+
+    output = pipeline.inference(
+        waveform_processed=waveform_processed,
+        init_samples=init_samples,
+        mask=mask,
+        num_inference_steps=args.num_steps,
+        strength=args.strength,
+        guidance_scale=args.guidance_scale,
+        guidance_rescale=args.guidance_rescale,
+        eta=args.eta,
+        fps=args.fps,
+        rng=jax.random.PRNGKey(args.seed),
+        save_intermediate=args.save_intermediate,
+    )
+
+    result = output.result[0, :window_len]
+    save_blendshape_coeffs(result, BLENDSHAPE_CLASSES, args.output_path)
+
+    if args.save_image:
+        save_blendshape_coeffs_image(result, args.output_image_path)
+
+    if args.save_intermediate:
+        os.makedirs(args.intermediate_dir, exist_ok=True)
+        interms = output.intermediates  # (K, B, T, C), ordered start→end
+        for t in range(interms.shape[0]):
+            step = interms.shape[0] - t  # reference numbers from the end
+            coeffs = np.clip(interms[t][0, :window_len], 0.0, 1.0)
+            save_blendshape_coeffs(
+                coeffs,
+                BLENDSHAPE_CLASSES,
+                os.path.join(args.intermediate_dir, f"{step}.csv"),
+            )
+            save_blendshape_coeffs_image(
+                coeffs, os.path.join(args.intermediate_dir, f"{step}.png")
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Build per-person neutral + blendshape meshes from VOCASET templates.
+
+Flag-compatible with reference ``script/preprocess_blendvoca.py``: crop
+each template to the FLAME head vertex subset, add the per-blendshape
+deltas, save neutral and 32 blendshape OBJs per person.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+
+from said_tpu.data.blendvoca import (
+    BLENDSHAPE_CLASSES,
+    PERSON_IDS_TEST,
+    PERSON_IDS_TRAIN,
+    PERSON_IDS_VAL,
+)
+from said_tpu.utils.blendshape import load_blendshape_deltas
+from said_tpu.utils.mesh import create_mesh, get_submesh, load_mesh, save_mesh
+from said_tpu.utils.parser import parse_list
+
+
+def main(argv=None) -> None:
+    default_data_dir = pathlib.Path("/root/reference/data")
+
+    parser = argparse.ArgumentParser(
+        description="Preprocess the BlendVOCA blendshape meshes (TPU-native)"
+    )
+    parser.add_argument("--templates_dir", type=str, default="../VOCA_Template")
+    parser.add_argument(
+        "--blendshape_deltas_path",
+        type=str,
+        default="../BlendVOCA/blendshape_deltas.pickle",
+    )
+    parser.add_argument(
+        "--head_idx_path", type=str, default=str(default_data_dir / "FLAME_head_idx.txt")
+    )
+    parser.add_argument("--neutrals_dir", type=str, default="../BlendVOCA/templates_head")
+    parser.add_argument("--blendshapes_dir", type=str, default="../BlendVOCA/blendshapes_head")
+    args = parser.parse_args(argv)
+
+    head_idx = parse_list(args.head_idx_path, int)
+    blendshape_deltas = load_blendshape_deltas(args.blendshape_deltas_path)
+    person_ids = PERSON_IDS_TRAIN + PERSON_IDS_VAL + PERSON_IDS_TEST
+
+    os.makedirs(args.neutrals_dir, exist_ok=True)
+    for pid in person_ids:
+        template = load_mesh(os.path.join(args.templates_dir, f"{pid}.ply"))
+        sub = get_submesh(template.vertices, template.faces, head_idx)
+
+        save_mesh(
+            create_mesh(sub.vertices, sub.faces),
+            os.path.join(args.neutrals_dir, f"{pid}.obj"),
+        )
+
+        out_dir = os.path.join(args.blendshapes_dir, pid)
+        os.makedirs(out_dir, exist_ok=True)
+        deltas = blendshape_deltas[pid]
+        for name in BLENDSHAPE_CLASSES:
+            save_mesh(
+                create_mesh(sub.vertices + deltas[name], sub.faces),
+                os.path.join(out_dir, f"{name}.obj"),
+            )
+        print(f"processed {pid}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Evaluate generated coefficient sequences: FD, Multimodality, WInD.
+
+Flag-compatible with reference ``script/test_evaluate.py``: sliding
+120-frame windows (step 1) through the eval VAE for both generated and
+ground-truth sequences (real side right-padded by 2 windows), filter to
+overlapping (person, sentence, frame) keys, then FD + Multimodality +
+WInD (10 GMM refits, K=5). Window encoding is batched on device —
+every window of a clip goes through the VAE encoder in one call.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import statistics
+from collections import defaultdict
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from said_tpu.cli._common import load_vae
+from said_tpu.data.blendvoca import BlendVOCAEvalDataset
+from said_tpu.eval.metrics import (
+    frechet_distance,
+    get_statistic,
+    get_statistic_gmm,
+    multimodality,
+    wind,
+)
+from said_tpu.models.vae import BCVAE
+
+
+@dataclasses.dataclass
+class LatentInfo:
+    person_id: str
+    sentence_id: int
+    frame_start: int
+    latent: np.ndarray
+
+
+def generate_latents_info(
+    model: BCVAE,
+    params,
+    batch_stats,
+    dataset: BlendVOCAEvalDataset,
+    window_step_size: int,
+    padding: int = 0,
+    encode_batch: int = 256,
+) -> List[LatentInfo]:
+    @jax.jit
+    def encode(windows):
+        mean, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            windows,
+            method=BCVAE.encode,
+        )
+        return mean
+
+    infos: List[LatentInfo] = []
+    for idx in range(len(dataset)):
+        item = dataset[idx]
+        coeffs = np.asarray(item.blendshape_coeffs)
+        n_windows = (coeffs.shape[0] - model.seq_len) // window_step_size + 1 - padding
+        if n_windows <= 0:
+            continue
+        starts = [window_step_size * w for w in range(n_windows)]
+        windows = np.stack([coeffs[s : s + model.seq_len] for s in starts])
+        means = []
+        for lo in range(0, len(windows), encode_batch):
+            means.append(np.asarray(encode(jnp.asarray(windows[lo : lo + encode_batch]))))
+        means = np.concatenate(means)
+        for s, m in zip(starts, means):
+            infos.append(
+                LatentInfo(
+                    person_id=item.person_id,
+                    sentence_id=item.sentence_id,
+                    frame_start=s,
+                    latent=m,
+                )
+            )
+    return infos
+
+
+def filter_latent_infos(eval_infos, real_infos):
+    real_keys = {
+        (i.person_id, i.sentence_id, i.frame_start) for i in real_infos
+    }
+    return [
+        i
+        for i in eval_infos
+        if (i.person_id, i.sentence_id, i.frame_start) in real_keys
+    ]
+
+
+def evaluate_multimodality(infos: List[LatentInfo]) -> float:
+    groups = defaultdict(list)
+    for i in infos:
+        groups[(i.person_id, i.sentence_id, i.frame_start)].append(i.latent)
+    s1, s2 = [], []
+    for latents in groups.values():
+        half = len(latents) // 2
+        s1.extend(latents[:half])
+        s2.extend(latents[half : 2 * half])
+    return multimodality(s1, s2)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Evaluate the generated blendshape coefficients (TPU-native)"
+    )
+    parser.add_argument("--audio_dir", type=str, default="../BlendVOCA/audio")
+    parser.add_argument(
+        "--coeffs_dir", type=str, default="../BlendVOCA/blendshape_coeffs"
+    )
+    parser.add_argument("--eval_dir", type=str, default="../out")
+    parser.add_argument("--vae_weights_path", type=str, default="model/vae.pth")
+    parser.add_argument("--blendshape_residuals_path", type=str, default="")
+    parser.add_argument("--window_step_size", type=int, default=1)
+    parser.add_argument("--bc_threshold", type=float, default=0.1)
+    parser.add_argument("--wind_num_clusters", type=int, default=5)
+    parser.add_argument("--wind_num_repeats", type=int, default=10)
+    parser.add_argument("--device", type=str, default="", help="ignored (jax selects)")
+    args = parser.parse_args(argv)
+
+    model, params, batch_stats = load_vae(args.vae_weights_path)
+
+    eval_dataset = BlendVOCAEvalDataset(
+        audio_dir=args.audio_dir,
+        blendshape_coeffs_dir=args.eval_dir,
+        blendshape_deltas_path=args.blendshape_residuals_path or None,
+        preload=False,
+    )
+    real_dataset = BlendVOCAEvalDataset(
+        audio_dir=args.audio_dir,
+        blendshape_coeffs_dir=args.coeffs_dir,
+        blendshape_deltas_path=args.blendshape_residuals_path or None,
+        preload=False,
+    )
+
+    eval_infos = generate_latents_info(
+        model, params, batch_stats, eval_dataset, args.window_step_size
+    )
+    real_infos = generate_latents_info(
+        model, params, batch_stats, real_dataset, args.window_step_size, padding=2
+    )
+    eval_infos = filter_latent_infos(eval_infos, real_infos)
+
+    eval_latents = [i.latent for i in eval_infos]
+    real_latents = [i.latent for i in real_infos]
+
+    es, rs = get_statistic(eval_latents), get_statistic(real_latents)
+    fd = frechet_distance(es.mean, es.cov, rs.mean, rs.cov)
+
+    mm = evaluate_multimodality(eval_infos)
+
+    scores = []
+    for _ in range(args.wind_num_repeats):
+        e_stats = get_statistic_gmm(eval_latents, args.wind_num_clusters)
+        r_stats = get_statistic_gmm(real_latents, args.wind_num_clusters)
+        scores.append(wind(e_stats, r_stats))
+    wind_stat = {
+        "mean": statistics.mean(scores),
+        "std": statistics.stdev(scores) if len(scores) > 1 else 0.0,
+    }
+
+    print(
+        {
+            "frechet_distance": fd,
+            "multimodality": mm,
+            "wind": wind_stat,
+        }
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Minimal host-side data loader (maps indices → collated batches).
+
+Replaces the torch DataLoader usage in the reference scripts: supports
+sequential iteration and a with-replacement random sampler (the
+reference trains with ``RandomSampler(replacement=True)``,
+``script/train.py:525-529``). Single-process — the datasets preload to
+RAM, so worker processes buy nothing here.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        sampler_replacement: bool = False,
+        collate_fn: Optional[Callable] = None,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.sampler_replacement = sampler_replacement
+        self.collate_fn = collate_fn or (lambda items: items)
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        if self.sampler_replacement:
+            indices = self.rng.integers(0, n, size=n)
+        elif self.shuffle:
+            indices = self.rng.permutation(n)
+        else:
+            indices = np.arange(n)
+
+        for start in range(0, n, self.batch_size):
+            batch_idx = indices[start : start + self.batch_size]
+            if self.drop_last and len(batch_idx) < self.batch_size:
+                break
+            yield self.collate_fn([self.dataset[int(i)] for i in batch_idx])

@@ -1,0 +1,275 @@
+"""SAID: the complete speech → blendshape-coefficients diffusion model.
+
+Composes the Wav2Vec2 conditioner, the UNet1D denoiser, the learned
+null-conditioning embedding, and the DDIM sampling pipeline — the JAX
+counterpart of the reference's ``SAID``/``SAID_UNet1D``
+(``said/model/diffusion.py:46-527``), re-organized functionally:
+
+- ``SAID`` (flax module) owns parameters and the denoise/embed forwards.
+- ``SAIDPipeline`` owns schedule + jit cache and exposes
+  ``inference(waveform, ...)`` — one compiled XLA program per
+  (batch, window) shape, with the whole denoise chain in a lax.scan.
+
+The identity latent hooks (``encode_samples``/``decode_latent``) and
+``latent_scale`` are kept so a future latent-space variant slots in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from said_tpu.diffusion.sampler import SamplerConfig, sample
+from said_tpu.diffusion.schedule import DiffusionSchedule
+from said_tpu.models.unet1d import UNet1DConditionModel
+from said_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+SAMPLING_RATE = 16000
+
+
+@dataclasses.dataclass
+class SAIDInferenceOutput:
+    """result (B, T, C) in [0,1]; intermediates (K, B, T, C) or None."""
+
+    result: np.ndarray
+    intermediates: Optional[np.ndarray] = None
+
+
+class SAID(nn.Module):
+    """Parameters + forward passes (denoise, audio embedding)."""
+
+    audio_config: Wav2Vec2Config = Wav2Vec2Config()
+    in_channels: int = 32
+    feature_dim: int = -1
+    diffusion_steps: int = 1000
+    latent_scale: float = 1.0
+    prediction_type: str = "epsilon"
+    dtype: Any = jnp.float32
+    self_attn_impl: str = "dense"
+    cross_attn_impl: str = "banded"
+
+    def setup(self):
+        cross_dim = (
+            self.feature_dim
+            if self.feature_dim > 0
+            else self.audio_config.hidden_size
+        )
+        self.audio_encoder = Wav2Vec2Encoder(self.audio_config, self.dtype)
+        self.denoiser = UNet1DConditionModel(
+            in_channels=self.in_channels,
+            out_channels=self.in_channels,
+            cross_attention_dim=cross_dim,
+            dropout=0.1,
+            dtype=self.dtype,
+            self_attn_impl=self.self_attn_impl,
+            cross_attn_impl=self.cross_attn_impl,
+        )
+        emb_dim = self.feature_dim if self.feature_dim > 0 else self.audio_config.output_hidden_size
+        self.null_cond_emb = self.param(
+            "null_cond_emb",
+            nn.initializers.normal(stddev=1.0),
+            (1, 1, emb_dim),
+            jnp.float32,
+        )
+        if self.feature_dim > 0:
+            self.audio_proj_layer = nn.Dense(
+                self.feature_dim, dtype=self.dtype, name="audio_proj_layer"
+            )
+
+    def __call__(
+        self,
+        noisy_samples: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        audio_embedding: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Predict noise: (B, T, C), (B,), (B, S, E) → (B, T, C)."""
+        return self.denoiser(noisy_samples, timesteps, audio_embedding, deterministic)
+
+    def get_audio_embedding(
+        self,
+        waveform: jnp.ndarray,
+        num_frames: Optional[int],
+        mask_time_indices: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """(B, T_a) processed waveform → (B, num_frames, E) embedding."""
+        feats = self.audio_encoder(
+            waveform, num_frames, mask_time_indices, deterministic
+        )
+        if self.feature_dim > 0:
+            feats = self.audio_proj_layer(feats)
+        return feats
+
+    def null_embedding(self, batch_size: int, seq_len: int) -> jnp.ndarray:
+        """Learned unconditional embedding, broadcast to (B, S, E)."""
+        return jnp.broadcast_to(
+            self.null_cond_emb.astype(self.dtype),
+            (batch_size, seq_len, self.null_cond_emb.shape[-1]),
+        )
+
+    # Identity latent hooks (reference diffusion.py:278-306).
+    def encode_samples(self, samples: jnp.ndarray) -> jnp.ndarray:
+        return samples
+
+    def decode_latent(self, latent: jnp.ndarray) -> jnp.ndarray:
+        return latent
+
+
+def process_audio(waveform: np.ndarray) -> np.ndarray:
+    """Wav2Vec2Processor normalization: per-utterance zero-mean/unit-var.
+
+    (The HF processor for wav2vec2-base-960h does exactly this:
+    ``(x - mean) / sqrt(var + 1e-7)``.) Accepts (T,) or (B, T).
+    """
+    x = np.asarray(waveform, dtype=np.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    out = (x - mean) / np.sqrt(var + 1e-7)
+    return out
+
+
+class SAIDPipeline:
+    """Host-side driver: owns params, schedule, and a jit cache.
+
+    One compiled program serves each (batch_size, window_size) pair;
+    recompilation is avoided across repeated clips of the same length
+    (the eval protocol runs 72 samples per clip in chunks — all one
+    compile).
+    """
+
+    def __init__(
+        self,
+        model: SAID,
+        params: Dict,
+        clip_sample: bool = True,
+    ):
+        self.model = model
+        self.params = params
+        self.schedule = DiffusionSchedule.create(
+            model.diffusion_steps, model.prediction_type, clip_sample
+        )
+        self.sampling_rate = SAMPLING_RATE
+        self._jit_cache: Dict = {}
+
+    def _compiled(self, key, config: SamplerConfig, window_size: int,
+                  use_init: bool, use_mask: bool, save_intermediate: bool):
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        model = self.model
+        schedule = self.schedule
+
+        def run(params, rng, waveform, latents, init_samples, mask):
+            def denoise_fn(x, t, ctx):
+                return model.apply({"params": params}, x, t, ctx)
+
+            audio_emb = model.apply(
+                {"params": params},
+                waveform,
+                window_size,
+                method=SAID.get_audio_embedding,
+            )
+            uncond = None
+            if config.do_cfg:
+                uncond = model.apply(
+                    {"params": params},
+                    audio_emb.shape[0],
+                    audio_emb.shape[1],
+                    method=SAID.null_embedding,
+                )
+            result, interms = sample(
+                schedule,
+                denoise_fn,
+                rng,
+                latents,
+                audio_emb,
+                uncond,
+                config,
+                init_samples=init_samples if use_init else None,
+                mask=mask if use_mask else None,
+                latent_scale=model.latent_scale,
+                save_intermediate=save_intermediate,
+            )
+            return result, interms
+
+        fn = jax.jit(run)
+        self._jit_cache[key] = fn
+        return fn
+
+    def inference(
+        self,
+        waveform_processed: np.ndarray,
+        init_samples: Optional[np.ndarray] = None,
+        mask: Optional[np.ndarray] = None,
+        num_inference_steps: int = 100,
+        strength: float = 1.0,
+        guidance_scale: float = 2.5,
+        guidance_rescale: float = 0.0,
+        eta: float = 0.0,
+        fps: int = 60,
+        rng: Optional[jax.Array] = None,
+        latents: Optional[np.ndarray] = None,
+        save_intermediate: bool = False,
+    ) -> SAIDInferenceOutput:
+        """Full inference (reference ``SAID.inference`` semantics).
+
+        ``latents`` may be passed explicitly (parity tests inject the
+        reference's gaussian draw); otherwise drawn from ``rng``.
+        """
+        waveform_processed = jnp.asarray(waveform_processed)
+        if waveform_processed.ndim == 1:
+            waveform_processed = waveform_processed[None]
+        b, t_a = waveform_processed.shape
+        window_size = int(t_a / self.sampling_rate * fps)
+        c = self.model.in_channels
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rng, lat_rng = jax.random.split(rng)
+
+        if latents is None:
+            if init_samples is None:
+                latents = jax.random.normal(lat_rng, (b, window_size, c), jnp.float32)
+            else:
+                latents = jnp.asarray(init_samples, jnp.float32)
+        else:
+            latents = jnp.asarray(latents, jnp.float32)
+
+        config = SamplerConfig(
+            num_inference_steps=num_inference_steps,
+            strength=strength,
+            guidance_scale=guidance_scale,
+            guidance_rescale=guidance_rescale,
+            eta=eta,
+        )
+        use_init = init_samples is not None
+        use_mask = use_init and mask is not None
+        key = (b, t_a, window_size, config, use_init, use_mask, save_intermediate)
+        fn = self._compiled(key, config, window_size, use_init, use_mask, save_intermediate)
+
+        init_arg = (
+            jnp.asarray(init_samples, jnp.float32)
+            if use_init
+            else jnp.zeros((b, window_size, c), jnp.float32)
+        )
+        mask_arg = (
+            jnp.asarray(mask, jnp.float32)
+            if use_mask
+            else jnp.zeros((b, window_size, c), jnp.float32)
+        )
+
+        result, interms = fn(self.params, rng, waveform_processed, latents, init_arg, mask_arg)
+        return SAIDInferenceOutput(
+            result=np.asarray(result),
+            intermediates=np.asarray(interms) if save_intermediate else None,
+        )

@@ -1,0 +1,105 @@
+"""Multi-head attention primitives (framework-agnostic, pure functions).
+
+Three execution paths, all numerically equivalent:
+
+- ``dense``  — materialize the (T, S) score matrix; optional boolean mask.
+  The baseline path, used for parity tests and arbitrary masks.
+- ``banded`` — for the alignment-biased cross-attention: gather only the
+  in-band keys/values per query (O(T·W·D) instead of O(T·S·D), with the
+  band width W = 3 in SAiD's configuration). This is the idiomatic TPU
+  replacement for the reference's dense mask + masked_fill
+  (``said/model/ldm/attention.py:101-110``).
+- ``flash``  — Pallas flash-attention kernel for the dense self-attention
+  (``said_tpu.ops.pallas_attention``), used on TPU for long sequences.
+
+Softmax always accumulates in float32 regardless of the compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+_NEG_INF = float(np.finfo(np.float32).max)
+
+
+def _softmax_f32(scores: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    return jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(out_dtype)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "dense",
+    band: Optional[tuple] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over flat (B, T, H*D) projections.
+
+    Parameters
+    ----------
+    q, k, v : jnp.ndarray
+        (B, T, H*D) query and (B, S, H*D) key/value projections.
+    num_heads : int
+        Number of heads H.
+    mask : Optional[jnp.ndarray]
+        (T, S) or (B, T, S) boolean, True = allowed. Only for ``dense``.
+    impl : str
+        "dense" | "banded" | "flash".
+    band : Optional[tuple]
+        For "banded": ``(idx, valid)`` from
+        ``said_tpu.ops.masks.band_gather_indices`` — idx (T, W) int32,
+        valid (T, W) bool.
+
+    Returns
+    -------
+    jnp.ndarray
+        (B, T, H*D) attention output (pre output-projection).
+    """
+    b, t, inner = q.shape
+    s = k.shape[1]
+    h = num_heads
+    d = inner // h
+    scale = d**-0.5
+
+    qh = q.reshape(b, t, h, d)
+    kh = k.reshape(b, s, h, d)
+    vh = v.reshape(b, s, h, d)
+
+    if impl == "banded":
+        if band is None:
+            raise ValueError("banded attention requires band=(idx, valid)")
+        idx, valid = band
+        idx = jnp.asarray(idx)  # (T, W) int32
+        valid = jnp.asarray(valid)  # (T, W) bool
+        # Gather in-band keys/values: (B, T, W, H, D)
+        k_win = kh[:, idx]
+        v_win = vh[:, idx]
+        scores = jnp.einsum("bthd,btwhd->bhtw", qh, k_win) * scale
+        scores = jnp.where(valid[None, None, :, :], scores, -_NEG_INF)
+        attn = _softmax_f32(scores, qh.dtype)
+        out = jnp.einsum("bhtw,btwhd->bthd", attn, v_win)
+        return out.reshape(b, t, inner)
+
+    if impl == "flash":
+        from said_tpu.ops.pallas_attention import flash_attention
+
+        return flash_attention(qh, kh, vh).reshape(b, t, inner)
+
+    # dense
+    scores = jnp.einsum("bthd,bshd->bhts", qh, kh) * scale
+    if mask is not None:
+        if mask.ndim == 2:
+            mask = mask[None, None, :, :]
+        elif mask.ndim == 3:
+            mask = mask[:, None, :, :]
+        scores = jnp.where(mask, scores, -_NEG_INF)
+    attn = _softmax_f32(scores, qh.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", attn, vh)
+    return out.reshape(b, t, inner)

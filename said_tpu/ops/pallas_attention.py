@@ -1,0 +1,119 @@
+"""Pallas TPU attention kernel for the denoiser's self-attention.
+
+A query-blocked attention kernel: each grid step computes one block of
+queries against the FULL key/value sequence held in VMEM, with float32
+softmax. For this model family (head dim 32, sequences up to a few
+thousand frames) K/V for one (batch, head) are tens–hundreds of KB, so
+the full-K design is both simpler and faster than an online-softmax
+flash loop — the (T, S) score matrix never round-trips to HBM, which
+is the entire win over the XLA dense path.
+
+Sequence lengths are padded to lane/sublane multiples on the host side;
+padded KEY positions are masked inside the kernel (padded QUERY rows
+produce garbage and are sliced off by the caller).
+
+Falls back to a dense jnp computation off-TPU (CPU tests, interpret
+mode) so callers can select "flash" unconditionally.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dense_reference(q, k, v):
+    d = q.shape[-1]
+    scale = d**-0.5
+    scores = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", attn, v)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("block_q",))
+def _flash_tpu(q, k, v, block_q: int = 256):
+    """q (B, T, H, D), k/v (B, S, H, D) → (B, T, H, D)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    scale = d**-0.5
+
+    t_pad = _round_up(t, block_q)
+    s_pad = _round_up(s, 128)
+
+    # (B, T, H, D) → (B*H, T, D)
+    qf = jnp.moveaxis(q, 2, 1).reshape(b * h, t, d)
+    kf = jnp.moveaxis(k, 2, 1).reshape(b * h, s, d)
+    vf = jnp.moveaxis(v, 2, 1).reshape(b * h, s, d)
+
+    if t_pad > t:
+        qf = jnp.pad(qf, ((0, 0), (0, t_pad - t), (0, 0)))
+    if s_pad > s:
+        kf = jnp.pad(kf, ((0, 0), (0, s_pad - s), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    num_q_blocks = t_pad // block_q
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        qb = q_ref[0]  # (block_q, d)
+        kb = k_ref[0]  # (s_pad, d)
+        vb = v_ref[0]
+        scores = (
+            jax.lax.dot_general(
+                qb,
+                kb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        if s_pad > s:  # mask padded key positions
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < s, scores, -jnp.inf)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        attn = (p / denom).astype(vb.dtype)
+        o_ref[0] = jnp.dot(attn, vb, preferred_element_type=jnp.float32).astype(
+            o_ref.dtype
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, s_pad, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, s_pad, d), lambda bh, i: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 96),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * (b * h) * t_pad * s_pad * d,
+            bytes_accessed=(b * h) * (t_pad * d * 2 + s_pad * d * 2 * num_q_blocks) * q.dtype.itemsize,
+            transcendentals=(b * h) * t_pad * s_pad,
+        ),
+    )(qf, kf, vf)
+
+    out = out[:, :t].reshape(b, h, t, d)
+    return jnp.moveaxis(out, 1, 2)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Attention over (B, T, H, D) tensors; Pallas on TPU, dense elsewhere."""
+    if jax.default_backend() != "tpu":
+        return _dense_reference(q, k, v)
+    return _flash_tpu(q, k, v)

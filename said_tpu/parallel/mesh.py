@@ -1,0 +1,132 @@
+"""Device mesh + sharding rules — the framework's distributed backbone.
+
+The reference has no in-repo distributed machinery (it delegates to an
+accelerator wrapper, ``script/train.py:492,566-575``); here the mesh is
+a first-class component:
+
+- ``data``  axis: batch sharding for data-parallel training/eval.
+  Gradient all-reduce is emitted by XLA from sharded in/out specs —
+  there is no hand-written collective layer.
+- ``model`` axis: tensor-parallel weight sharding rules for the wide
+  matmuls (attention qkv/out, feed-forwards). At SAiD's scale (~120 M
+  params) TP is never required, but the rules are wired so the same
+  code scales to larger variants by reshaping the mesh.
+
+Multi-host: ``jax.distributed.initialize()`` (call ``maybe_init_distributed``)
+then the same mesh code spans hosts; XLA routes collectives over
+ICI within a slice and DCN across slices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Logical mesh shape. ``data * model`` must equal the device count."""
+
+    data: int = -1  # -1 → all remaining devices
+    model: int = 1
+
+    def resolve(self, n_devices: int) -> "MeshConfig":
+        d = self.data
+        if d == -1:
+            if n_devices % self.model:
+                raise ValueError(f"{n_devices} devices not divisible by model={self.model}")
+            d = n_devices // self.model
+        if d * self.model != n_devices:
+            raise ValueError(
+                f"mesh {d}x{self.model} != device count {n_devices}"
+            )
+        return MeshConfig(data=d, model=self.model)
+
+
+def make_mesh(
+    config: MeshConfig = MeshConfig(), devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the given (or all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    cfg = config.resolve(len(devices))
+    arr = np.asarray(devices).reshape(cfg.data, cfg.model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def maybe_init_distributed() -> None:
+    """Initialize the multi-host runtime when launched under a cluster env."""
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Tensor-parallel partitioning rules: parameter-path regex → PartitionSpec.
+# Kernels are (in, out) for Dense and (W, in, out) for Conv; we shard the
+# output dim of "up" projections and the input dim of "down" projections,
+# the standard Megatron split that keeps one all-reduce per block.
+_TP_RULES = (
+    # attention projections: qkv column-parallel, out row-parallel
+    (re.compile(r".*(to_q|to_k|to_v|q_proj|k_proj|v_proj)\.kernel$"), P(None, "model")),
+    (re.compile(r".*(to_out|out_proj)\.kernel$"), P("model", None)),
+    # feed-forward: up column-parallel, down row-parallel
+    (re.compile(r".*(ff\.proj|ff_inter)\.kernel$"), P(None, "model")),
+    (re.compile(r".*(ff\.out|ff_out)\.kernel$"), P("model", None)),
+    # time-embed MLP (wide 768-dim): split the hidden dim
+    (re.compile(r".*time_embed_0\.kernel$"), P(None, "model")),
+    (re.compile(r".*time_embed_2\.kernel$"), P("model", None)),
+)
+
+
+def param_sharding_rules(path: str) -> P:
+    """PartitionSpec for a '/'-joined parameter path (default: replicate)."""
+    for pat, spec in _TP_RULES:
+        if pat.match(path):
+            return spec
+    return P()
+
+
+def shard_params(params: Dict, mesh: Mesh) -> Dict:
+    """Place a parameter pytree on the mesh according to the TP rules.
+
+    With ``model=1`` every spec degenerates to full replication, so this
+    is also the correct placement for pure data parallelism.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)
+
+    def place(path_entries, leaf):
+        path = "/".join(
+            getattr(p, "key", getattr(p, "idx", str(p))) if not isinstance(p, str) else p
+            for p in (getattr(e, "key", e) for e in path_entries)
+        )
+        spec = param_sharding_rules(path)
+        # Guard: only shard when the named axis divides the dim.
+        if spec != P():
+            axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            ok = True
+            for dim, name in enumerate(spec):
+                if name is None:
+                    continue
+                if dim >= leaf.ndim or leaf.shape[dim] % axis_sizes[name]:
+                    ok = False
+            if not ok:
+                spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    leaves, treedef = flat
+    placed = [place(path, leaf) for path, leaf in leaves]
+    return jax.tree_util.tree_unflatten(treedef, placed)

@@ -1,0 +1,238 @@
+"""SAiD denoiser training: losses, optimizer, and the sharded train step.
+
+Reference semantics (``script/train.py:45-250``):
+
+- loss = L1(pred, answer) + w_vel·L1(Δpred, Δanswer)
+         [+ w_vertex·L1 through per-person normalized blendshape deltas]
+  with answer ∈ {noise, x0, velocity} by prediction type, optional
+  per-channel std reweighting, CFG-dropout handled in the data (cond flag
+  mixes the learned null embedding in).
+- frozen audio encoder; AdamW lr 1e-5; constant-with-warmup schedule;
+  grad-clip 1.0; EMA 0.9999 with warmup.
+
+TPU design: the step is one jitted function whose batch inputs are
+sharded over the mesh's 'data' axis; XLA inserts the gradient
+all-reduce from the sharding specs (no hand-written collectives —
+see said_tpu/parallel/mesh.py). The frozen encoder runs inside the same
+program (its params get no optimizer state via an optax mask).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from said_tpu.diffusion.schedule import DiffusionSchedule
+from said_tpu.models.said import SAID
+from said_tpu.train.ema import ema_update
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-5
+    warmup_steps: int = 0  # computed by the CLI as steps/epoch × warmup epochs
+    weight_vel: float = 1.0
+    weight_vertex: float = 0.02
+    grad_clip: float = 1.0
+    ema: bool = True
+    ema_decay: float = 0.9999
+    prediction_type: str = "epsilon"
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """AdamW + global-norm clip + constant-with-warmup schedule, with the
+    audio encoder masked out (frozen, reference train.py:547-554)."""
+    if config.warmup_steps > 0:
+        schedule = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, config.learning_rate, config.warmup_steps),
+                optax.constant_schedule(config.learning_rate),
+            ],
+            [config.warmup_steps],
+        )
+    else:
+        schedule = optax.constant_schedule(config.learning_rate)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.grad_clip),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01),
+    )
+
+    def trainable_mask(params):
+        def mask_fn(path, _leaf):
+            top = path[0].key if hasattr(path[0], "key") else str(path[0])
+            return top != "audio_encoder"
+
+        return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+    return optax.masked(tx, trainable_mask)
+
+
+def create_train_state(config: TrainConfig, params) -> TrainState:
+    tx = make_optimizer(config)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.array, params) if config.ema else None,
+    )
+
+
+def said_loss(
+    model: SAID,
+    schedule: DiffusionSchedule,
+    params,
+    rng: jax.Array,
+    waveform: jnp.ndarray,  # (B, T_a) processed
+    coeffs: jnp.ndarray,  # (B, T, C)
+    cond: jnp.ndarray,  # (B,) bool
+    std: Optional[jnp.ndarray],  # (C,) or None
+    blendshape_delta: Optional[jnp.ndarray],  # (B, K, V, 3) or None
+    config: TrainConfig,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Randomized-noise training loss (reference ``random_noise_loss``)."""
+    b, window, c = coeffs.shape
+    rng_t, rng_n, rng_drop = jax.random.split(rng, 3)
+
+    coeff_latents = coeffs * model.latent_scale
+
+    timesteps = jax.random.randint(rng_t, (b,), 0, schedule.num_train_timesteps)
+
+    variables = {"params": params}
+    cond_embedding = model.apply(
+        variables,
+        waveform,
+        window,
+        method=SAID.get_audio_embedding,
+        deterministic=True,  # encoder frozen & eval (dropout off)
+    )
+    uncond_embedding = model.apply(
+        variables, b, cond_embedding.shape[1], method=SAID.null_embedding
+    )
+    cond_mask = cond.reshape(-1, 1, 1)
+    audio_embedding = jnp.where(cond_mask, cond_embedding, uncond_embedding)
+
+    noise = jax.random.normal(rng_n, coeff_latents.shape, coeff_latents.dtype)
+    noisy = schedule.add_noise(coeff_latents, noise, timesteps)
+    velocity = schedule.get_velocity(coeff_latents, noise, timesteps)
+
+    pred = model.apply(
+        variables,
+        noisy,
+        timesteps,
+        audio_embedding,
+        deterministic=not train,
+        rngs={"dropout": rng_drop} if train else None,
+    )
+
+    if config.prediction_type == "epsilon":
+        answer = noise
+    elif config.prediction_type == "sample":
+        answer = coeff_latents
+    else:
+        answer = velocity
+
+    if std is not None:
+        inv = 1.0 / std.reshape(1, 1, -1)
+        answer_rw = answer * inv
+        pred_rw = pred * inv
+    else:
+        answer_rw, pred_rw = answer, pred
+
+    loss_pred = jnp.abs(pred_rw - answer_rw).mean()
+    loss_vel = jnp.abs(
+        (pred_rw[:, 1:] - pred_rw[:, :-1]) - (answer_rw[:, 1:] - answer_rw[:, :-1])
+    ).mean()
+
+    loss = loss_pred + config.weight_vel * loss_vel
+    metrics = {"loss_predict": loss_pred, "loss_velocity": loss_vel}
+
+    if blendshape_delta is not None:
+        bd = blendshape_delta
+        bsz, k, v, i = bd.shape
+        norm = jnp.abs(bd).sum(axis=(1, 2, 3)) / (k * v * i)
+        bd_normalized = (bd / norm.reshape(-1, 1, 1, 1)).reshape(bsz, k, v * i)
+        be_answer = jnp.einsum("btk,bkd->btd", answer, bd_normalized)
+        be_pred = jnp.einsum("btk,bkd->btd", pred, bd_normalized)
+        loss_vertex = jnp.abs(be_pred - be_answer).mean()
+        loss = loss + config.weight_vertex * loss_vertex
+        metrics["loss_vertex"] = loss_vertex
+
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(model: SAID, schedule: DiffusionSchedule, config: TrainConfig):
+    """Build the jittable (state, batch, rng) → (state, metrics) step."""
+    tx = make_optimizer(config)
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        def loss_fn(params):
+            return said_loss(
+                model,
+                schedule,
+                params,
+                rng,
+                batch["waveform"],
+                batch["coeffs"],
+                batch["cond"],
+                batch.get("std"),
+                batch.get("blendshape_delta"),
+                config,
+                train=True,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = (
+            ema_update(state.ema_params, new_params, config.ema_decay, state.step)
+            if state.ema_params is not None
+            else None
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: SAID, schedule: DiffusionSchedule, config: TrainConfig):
+    """Validation loss step (EMA params passed in by the caller)."""
+
+    def eval_step(params, batch: Dict, rng: jax.Array):
+        _, metrics = said_loss(
+            model,
+            schedule,
+            params,
+            rng,
+            batch["waveform"],
+            batch["coeffs"],
+            batch["cond"],
+            batch.get("std"),
+            batch.get("blendshape_delta"),
+            config,
+            train=False,
+        )
+        return metrics
+
+    return eval_step
