@@ -162,7 +162,20 @@ def main(argv=None) -> None:
         else init_said_params(model, seed=args.seed)
     )
 
-    mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    import jax as _jax
+
+    from said_tpu.parallel.mesh import fit_data_axis
+
+    n_devices = len(_jax.devices())
+    data_axis = (
+        args.mesh_data
+        if args.mesh_data > 0
+        else fit_data_axis(args.batch_size, n_devices, args.mesh_model)
+    )
+    mesh = make_mesh(
+        MeshConfig(data=data_axis, model=args.mesh_model),
+        devices=_jax.devices()[: data_axis * args.mesh_model],
+    )
     params = shard_params(params, mesh)
     state = create_train_state(config, params)
 
@@ -196,16 +209,21 @@ def main(argv=None) -> None:
         else:
             waves = batch.waveform
         wave_np = process_audio(np.stack(waves))
+        # Replicate batches that don't divide the data axis (e.g. the
+        # batch-1 validation loader) instead of erroring.
+        from said_tpu.parallel.mesh import replicated
+
+        shard = data_shard if len(waves) % data_axis == 0 else replicated(mesh)
         out = {
-            "waveform": jax.device_put(wave_np, data_shard),
-            "coeffs": jax.device_put(coeffs.astype(np.float32), data_shard),
-            "cond": jax.device_put(batch.cond, data_shard),
+            "waveform": jax.device_put(wave_np, shard),
+            "coeffs": jax.device_put(coeffs.astype(np.float32), shard),
+            "cond": jax.device_put(batch.cond, shard),
         }
         if std is not None:
             out["std"] = std
         if batch.blendshape_delta is not None:
             out["blendshape_delta"] = jax.device_put(
-                batch.blendshape_delta.astype(np.float32), data_shard
+                batch.blendshape_delta.astype(np.float32), shard
             )
         return out
 

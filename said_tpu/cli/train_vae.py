@@ -108,7 +108,9 @@ def main(argv=None) -> None:
         for batch in train_loader:
             rng, step_rng = jax.random.split(rng)
             coeffs = jnp.asarray(batch.blendshape_coeffs)
-            state, metrics = train_step(state, coeffs, std, beta_epoch, step_rng)
+            state, metrics = train_step(
+                state, coeffs, std, jnp.float32(beta_epoch), step_rng
+            )
             bsz = coeffs.shape[0]
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v) * bsz
@@ -127,7 +129,8 @@ def main(argv=None) -> None:
                     rng, step_rng = jax.random.split(rng)
                     coeffs = jnp.asarray(batch.blendshape_coeffs)
                     metrics = eval_step(
-                        vp, state.batch_stats, coeffs, std, beta_epoch, step_rng
+                        vp, state.batch_stats, coeffs, std,
+                        jnp.float32(beta_epoch), step_rng,
                     )
                     for k, v in metrics.items():
                         v_totals[k] = v_totals.get(k, 0.0) + float(v) * coeffs.shape[0]

@@ -86,11 +86,24 @@ class SAID(nn.Module):
         self,
         noisy_samples: jnp.ndarray,
         timesteps: jnp.ndarray,
-        audio_embedding: jnp.ndarray,
+        audio_embedding: Optional[jnp.ndarray],
         deterministic: bool = True,
+        kv_caches: Optional[dict] = None,
+        emb: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """Predict noise: (B, T, C), (B,), (B, S, E) → (B, T, C)."""
-        return self.denoiser(noisy_samples, timesteps, audio_embedding, deterministic)
+        """Predict noise: (B, T, C), (B,), (B, S, E) → (B, T, C).
+
+        ``kv_caches``/``emb`` activate the sampling fast path (see
+        ``said_tpu.models.unet1d.build_kv_caches``/``time_embed_table``).
+        """
+        return self.denoiser(
+            noisy_samples,
+            timesteps,
+            audio_embedding,
+            deterministic,
+            kv_caches=kv_caches,
+            emb=emb,
+        )
 
     def get_audio_embedding(
         self,
@@ -170,9 +183,6 @@ class SAIDPipeline:
         schedule = self.schedule
 
         def run(params, rng, waveform, latents, init_samples, mask):
-            def denoise_fn(x, t, ctx):
-                return model.apply({"params": params}, x, t, ctx)
-
             audio_emb = model.apply(
                 {"params": params},
                 waveform,
@@ -187,6 +197,47 @@ class SAIDPipeline:
                     audio_emb.shape[1],
                     method=SAID.null_embedding,
                 )
+
+            # Hoist everything loop-invariant out of the 1000-step scan:
+            # context K/V (+ banded gathers) and the timestep-MLP table.
+            from said_tpu.models.unet1d import (
+                UNet1DConditionModel,
+                build_kv_caches,
+                time_embed_table,
+            )
+
+            full_context = (
+                jnp.concatenate([uncond, audio_emb], axis=0)
+                if config.do_cfg
+                else audio_emb
+            )
+            # SAID builds its denoiser with the UNet defaults (192 ch / 32
+            # per head); setup()-bound submodules aren't readable here.
+            mc = UNet1DConditionModel.model_channels
+            heads = mc // UNet1DConditionModel.num_head_channels
+            kv_caches = build_kv_caches(
+                params["denoiser"],
+                full_context,
+                window_size,
+                num_heads=heads,
+                dtype=model.dtype,
+            )
+            emb_table = time_embed_table(
+                params["denoiser"], np.arange(model.diffusion_steps), mc
+            )
+
+            def denoise_fn(x, t, ctx):
+                del ctx  # folded into kv_caches
+                return model.apply(
+                    {"params": params},
+                    x,
+                    t,
+                    None,
+                    deterministic=True,
+                    kv_caches=kv_caches,
+                    emb=emb_table[t],
+                )
+
             result, interms = sample(
                 schedule,
                 denoise_fn,

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from said_tpu.ops.attention import multi_head_attention
+from said_tpu.ops.attention import banded_attention_cached, multi_head_attention
 from said_tpu.ops.masks import band_gather_indices
 from said_tpu.ops.norms import group_norm, layer_norm_f32
 
@@ -144,13 +144,19 @@ class CrossAttention(nn.Module):
         band: Optional[tuple] = None,
         impl: str = "dense",
         deterministic: bool = True,
+        kv_cache: Optional[tuple] = None,
     ) -> jnp.ndarray:
         inner = self.heads * self.dim_head
-        ctx = x if context is None else context
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
-        out = multi_head_attention(q, k, v, self.heads, mask=mask, impl=impl, band=band)
+        if kv_cache is not None:
+            # Loop-invariant pre-gathered K/V (sampling fast path).
+            k_win, v_win, valid = kv_cache
+            out = banded_attention_cached(q, k_win, v_win, valid, self.heads)
+        else:
+            ctx = x if context is None else context
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+            out = multi_head_attention(q, k, v, self.heads, mask=mask, impl=impl, band=band)
         out = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
@@ -193,6 +199,7 @@ class BasicTransformerBlock(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        kv_cache: Optional[tuple] = None,
     ) -> jnp.ndarray:
         x = x + CrossAttention(
             self.heads, self.dim_head, self.dropout, self.dtype, name="attn1"
@@ -205,7 +212,7 @@ class BasicTransformerBlock(nn.Module):
         band = None
         mask = None
         cross_impl = "dense"
-        if context is not None:
+        if context is not None and kv_cache is None:
             t, s = x.shape[1], context.shape[1]
             if self.cross_attn_impl == "banded":
                 idx, valid, _ = band_gather_indices(t, s, self.align_pad)
@@ -226,6 +233,7 @@ class BasicTransformerBlock(nn.Module):
             band=band,
             impl=cross_impl,
             deterministic=deterministic,
+            kv_cache=kv_cache,
         )
         x = x + FeedForward(dropout=self.dropout, dtype=self.dtype, name="ff")(
             LayerNormF32(name="norm3")(x), deterministic=deterministic
@@ -254,6 +262,7 @@ class SpatialTransformer(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        kv_cache: Optional[list] = None,
     ) -> jnp.ndarray:
         x_in = x
         h = GroupNorm32(num_groups=32, eps=1e-6, name="norm")(x)
@@ -266,7 +275,12 @@ class SpatialTransformer(nn.Module):
                 self_attn_impl=self.self_attn_impl,
                 cross_attn_impl=self.cross_attn_impl,
                 name=f"block_{d}",
-            )(h, context=context, deterministic=deterministic)
+            )(
+                h,
+                context=context,
+                deterministic=deterministic,
+                kv_cache=None if kv_cache is None else kv_cache[d],
+            )
         h = nn.Conv(
             x.shape[-1],
             (1,),
@@ -305,24 +319,39 @@ class UNet1DConditionModel(nn.Module):
         self,
         sample: jnp.ndarray,
         timesteps: jnp.ndarray,
-        context: jnp.ndarray,
+        context: Optional[jnp.ndarray],
         deterministic: bool = True,
+        kv_caches: Optional[dict] = None,
+        emb: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Denoise. sample (B, T, C_in); timesteps () or (B,);
-        context (B, S, cross_attention_dim). Returns (B, T, C_out)."""
+        context (B, S, cross_attention_dim). Returns (B, T, C_out).
+
+        Sampling fast path: ``kv_caches`` (from ``build_kv_caches``) and a
+        precomputed ``emb`` (from ``time_embed_table``) replace the
+        loop-invariant context projections / timestep MLP inside the
+        denoise loop.
+        """
         b = sample.shape[0]
-        timesteps = jnp.atleast_1d(timesteps)
-        if timesteps.shape[0] == 1 and b > 1:
-            timesteps = jnp.broadcast_to(timesteps, (b,))
 
         mc = self.model_channels
         heads = mc // self.num_head_channels
         dim_head = mc // heads  # legacy spatial-transformer head sizing
 
-        t_emb = timestep_embedding(timesteps, mc)
-        emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_embed_0")(t_emb.astype(self.dtype))
-        emb = jax.nn.silu(emb)
-        emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_embed_2")(emb)
+        if emb is None:
+            timesteps = jnp.atleast_1d(timesteps)
+            if timesteps.shape[0] == 1 and b > 1:
+                timesteps = jnp.broadcast_to(timesteps, (b,))
+            t_emb = timestep_embedding(timesteps, mc)
+            emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_embed_0")(
+                t_emb.astype(self.dtype)
+            )
+            emb = jax.nn.silu(emb)
+            emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_embed_2")(emb)
+        else:
+            emb = emb.astype(self.dtype)
+            if emb.ndim == 1:
+                emb = jnp.broadcast_to(emb[None, :], (b, emb.shape[0]))
 
         st_kwargs = dict(
             heads=heads,
@@ -334,7 +363,8 @@ class UNet1DConditionModel(nn.Module):
         )
 
         x = sample.astype(self.dtype)
-        context = context.astype(self.dtype)
+        if context is not None:
+            context = context.astype(self.dtype)
 
         h0 = nn.Conv(mc, (3,), padding=1, dtype=self.dtype, name="input_conv")(x)
 
@@ -342,14 +372,16 @@ class UNet1DConditionModel(nn.Module):
             h0, emb, deterministic
         )
         h1 = SpatialTransformer(**st_kwargs, name="input_attn")(
-            h1, context, deterministic
+            h1, context, deterministic,
+            kv_cache=None if kv_caches is None else kv_caches["input_attn"],
         )
 
         hm = ResBlock1D(mc, self.dropout, self.dtype, name="middle_res1")(
             h1, emb, deterministic
         )
         hm = SpatialTransformer(**st_kwargs, name="middle_attn")(
-            hm, context, deterministic
+            hm, context, deterministic,
+            kv_cache=None if kv_caches is None else kv_caches["middle_attn"],
         )
         hm = ResBlock1D(mc, self.dropout, self.dtype, name="middle_res2")(
             hm, emb, deterministic
@@ -360,7 +392,8 @@ class UNet1DConditionModel(nn.Module):
             o, emb, deterministic
         )
         o = SpatialTransformer(**st_kwargs, name="output_attn0")(
-            o, context, deterministic
+            o, context, deterministic,
+            kv_cache=None if kv_caches is None else kv_caches["output_attn0"],
         )
 
         o = jnp.concatenate([o, h0], axis=-1)
@@ -368,7 +401,8 @@ class UNet1DConditionModel(nn.Module):
             o, emb, deterministic
         )
         o = SpatialTransformer(**st_kwargs, name="output_attn1")(
-            o, context, deterministic
+            o, context, deterministic,
+            kv_cache=None if kv_caches is None else kv_caches["output_attn1"],
         )
 
         o = GroupNorm32(name="out_norm")(o)
@@ -382,3 +416,70 @@ class UNet1DConditionModel(nn.Module):
             name="out_conv",
         )(o)
         return o.astype(sample.dtype)
+
+
+# --------------------------------------------------------------------------
+# Sampling fast-path helpers: precompute everything in the denoise loop that
+# does not depend on the latent or the timestep. Both functions reach into
+# the UNet's parameter pytree by name (this module owns that naming).
+
+
+def build_kv_caches(
+    params: dict,
+    context: jnp.ndarray,
+    x_len: int,
+    num_heads: int = 6,
+    align_pad: int = 1,
+    dtype: Any = None,
+) -> dict:
+    """Precompute per-block banded K/V gathers for a fixed context.
+
+    In the sampling loop the audio embedding is constant, so each cross
+    attention's ``to_k``/``to_v`` projections AND the alignment-band
+    gather are loop-invariant. Returns
+    ``{block_name: [ (k_win, v_win, valid), ... per depth ]}`` to pass as
+    ``UNet1DConditionModel.__call__(kv_caches=...)``.
+    """
+    if dtype is not None:
+        context = context.astype(dtype)
+    s = context.shape[1]
+    idx, valid, _w = band_gather_indices(x_len, s, align_pad)
+    idx = jnp.asarray(idx)
+    valid = jnp.asarray(valid)
+
+    caches = {}
+    for name in ("input_attn", "middle_attn", "output_attn0", "output_attn1"):
+        block_caches = []
+        d = 0
+        while f"block_{d}" in params[name]:
+            attn2 = params[name][f"block_{d}"]["attn2"]
+            wk = jnp.asarray(attn2["to_k"]["kernel"], context.dtype)
+            wv = jnp.asarray(attn2["to_v"]["kernel"], context.dtype)
+            k = context @ wk  # (B, S, inner)
+            v = context @ wv
+            b = k.shape[0]
+            inner = k.shape[-1]
+            dh = inner // num_heads
+            k_win = k.reshape(b, s, num_heads, dh)[:, idx]  # (B, T, W, H, D)
+            v_win = v.reshape(b, s, num_heads, dh)[:, idx]
+            block_caches.append((k_win, v_win, valid))
+            d += 1
+        caches[name] = block_caches
+    return caches
+
+
+def time_embed_table(
+    params: dict, timesteps: jnp.ndarray, model_channels: int = 192
+) -> jnp.ndarray:
+    """Timestep-embedding MLP for a whole timestep grid at once.
+
+    The embedding depends only on t, so the sampling loop indexes this
+    (K, 4*model_channels) table instead of re-running the MLP per step.
+    """
+    t_emb = timestep_embedding(jnp.atleast_1d(timesteps), model_channels)
+    w0 = jnp.asarray(params["time_embed_0"]["kernel"])
+    b0 = jnp.asarray(params["time_embed_0"]["bias"])
+    w2 = jnp.asarray(params["time_embed_2"]["kernel"])
+    b2 = jnp.asarray(params["time_embed_2"]["bias"])
+    h = jax.nn.silu(t_emb @ w0 + b0)
+    return h @ w2 + b2

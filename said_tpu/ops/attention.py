@@ -31,6 +31,34 @@ def _softmax_f32(scores: jnp.ndarray, out_dtype) -> jnp.ndarray:
     return jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(out_dtype)
 
 
+def banded_attention_cached(
+    q: jnp.ndarray,
+    k_win: jnp.ndarray,
+    v_win: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_heads: int,
+) -> jnp.ndarray:
+    """Banded cross-attention with PRE-GATHERED keys/values.
+
+    In the sampling loop the audio context — hence K, V, and their banded
+    gather — is identical for every denoise step; callers hoist them out
+    of the scan (``said_tpu.models.unet1d.build_kv_caches``) and each step
+    only projects Q and attends over the W in-band entries.
+
+    q (B, T, H*D); k_win/v_win (B, T, W, H, D); valid (T, W) bool.
+    """
+    b, t, inner = q.shape
+    h = num_heads
+    d = inner // h
+    qh = q.reshape(b, t, h, d)
+    scale = d**-0.5
+    scores = jnp.einsum("bthd,btwhd->bhtw", qh, k_win) * scale
+    scores = jnp.where(valid[None, None, :, :], scores, -_NEG_INF)
+    attn = _softmax_f32(scores, qh.dtype)
+    out = jnp.einsum("bhtw,btwhd->bthd", attn, v_win)
+    return out.reshape(b, t, inner)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -108,13 +108,17 @@ def _admm_sequence_qp(
     w_init = jnp.clip(w0, 0.0, 1.0) if w0 is not None else jnp.zeros((t, n))
 
     alpha = 1.6  # over-relaxation, standard ADMM acceleration
+    # The eigenbasis rotations MUST run at full fp32 precision — jax's
+    # default allows bf16-class accumulation, which shifts the ADMM fixed
+    # point by ~1e-3.
+    hi = jax.lax.Precision.HIGHEST
 
     def body(state):
         w, z1, u1, z2, u2, it, _ = state
         rhs = -q + rho1 * (z1 - u1) + rho2 * dt_apply(z2 - u2)
-        rhs_t = rhs @ evecs  # to eigenbasis
+        rhs_t = jnp.matmul(rhs, evecs, precision=hi)  # to eigenbasis
         w_t = _thomas_solve(c_prime, inv_den, -rho2, rhs_t)
-        w = w_t @ evecs.T
+        w = jnp.matmul(w_t, evecs.T, precision=hi)
 
         w_relaxed = alpha * w + (1.0 - alpha) * z1
         w_u1 = w_relaxed + u1
@@ -163,8 +167,22 @@ def solve_sequence_qp(
     init_vals: Optional[np.ndarray] = None,
     max_iters: int = 4000,
     tol: float = 1e-6,
+    backend: str = "auto",
 ) -> np.ndarray:
-    """Solve min Σ_t ½wᵀGw + q_tᵀw_t, 0≤w≤1, |w_t−w_{t+1}|≤δ. → (T, N)."""
+    """Solve min Σ_t ½wᵀGw + q_tᵀw_t, 0≤w≤1, |w_t−w_{t+1}|≤δ. → (T, N).
+
+    backend "auto" prefers the native float64 solver (C++, exactness for
+    the host-side pseudo-GT pipeline) and falls back to the jitted JAX
+    ADMM; "jax"/"native" force one path.
+    """
+    if backend in ("auto", "native"):
+        from said_tpu.optimize.native import solve_sequence_qp_native
+
+        w = solve_sequence_qp_native(gram, q, delta, init_vals)
+        if w is not None:
+            return w
+        if backend == "native":
+            raise RuntimeError("native QP solver unavailable (g++ build failed?)")
     gram = jnp.asarray(gram, jnp.float32)
     q = jnp.asarray(q, jnp.float32)
     # ADMM penalty scaled to the problem's curvature (≈ mean eigenvalue —

@@ -58,6 +58,19 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def fit_data_axis(batch_size: int, n_devices: int, model_axis: int = 1) -> int:
+    """Largest data-axis size that divides both the batch and the devices.
+
+    Keeps small-batch runs valid on large meshes (extra devices idle
+    rather than erroring on an indivisible batch shard).
+    """
+    avail = n_devices // model_axis
+    d = min(batch_size, avail)
+    while d > 1 and (batch_size % d or avail % d):
+        d -= 1
+    return max(d, 1)
+
+
 def maybe_init_distributed() -> None:
     """Initialize the multi-host runtime when launched under a cluster env."""
     import os
@@ -81,14 +94,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # the standard Megatron split that keeps one all-reduce per block.
 _TP_RULES = (
     # attention projections: qkv column-parallel, out row-parallel
-    (re.compile(r".*(to_q|to_k|to_v|q_proj|k_proj|v_proj)\.kernel$"), P(None, "model")),
-    (re.compile(r".*(to_out|out_proj)\.kernel$"), P("model", None)),
+    (re.compile(r".*(to_q|to_k|to_v|q_proj|k_proj|v_proj)/kernel$"), P(None, "model")),
+    (re.compile(r".*(to_out|out_proj)/kernel$"), P("model", None)),
     # feed-forward: up column-parallel, down row-parallel
-    (re.compile(r".*(ff\.proj|ff_inter)\.kernel$"), P(None, "model")),
-    (re.compile(r".*(ff\.out|ff_out)\.kernel$"), P("model", None)),
+    (re.compile(r".*(ff/proj|ff_inter)/kernel$"), P(None, "model")),
+    (re.compile(r".*(ff/out|ff_out)/kernel$"), P("model", None)),
     # time-embed MLP (wide 768-dim): split the hidden dim
-    (re.compile(r".*time_embed_0\.kernel$"), P(None, "model")),
-    (re.compile(r".*time_embed_2\.kernel$"), P("model", None)),
+    (re.compile(r".*time_embed_0/kernel$"), P(None, "model")),
+    (re.compile(r".*time_embed_2/kernel$"), P("model", None)),
 )
 
 
@@ -110,8 +123,7 @@ def shard_params(params: Dict, mesh: Mesh) -> Dict:
 
     def place(path_entries, leaf):
         path = "/".join(
-            getattr(p, "key", getattr(p, "idx", str(p))) if not isinstance(p, str) else p
-            for p in (getattr(e, "key", e) for e in path_entries)
+            str(getattr(e, "key", getattr(e, "idx", e))) for e in path_entries
         )
         spec = param_sharding_rules(path)
         # Guard: only shard when the named axis divides the dim.

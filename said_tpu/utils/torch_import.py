@@ -16,8 +16,9 @@ Layout conventions converted here, once, at the boundary:
 - torch ConvTranspose1d weight (I, O, W)→ flipped-W conv kernel (W, I, O)
   (stride-1 transposed conv == full-padding correlation with flipped kernel)
 - weight-normed conv (pos-embedding)    → effective weight g·v/|v|
-- torch channel-major Flatten           → column permutation on the
-  following Linear so the channels-last flatten matches bit-for-bit.
+
+(torch's channel-major Flatten/Unflatten in the BCVAE is reproduced by
+transposes inside the flax model, so Linear weights import unpermuted.)
 
 All functions take/return numpy; ``load_state_dict`` uses torch only to
 deserialize the pickle.
@@ -129,9 +130,7 @@ def _spatial_transformer(sd: StateDict, p: str, depth: int = 1) -> Dict:
 
 def convert_unet1d(sd: StateDict, prefix: str = "denoiser.model.") -> Dict:
     """Reference UNetModel state dict → UNet1DConditionModel flax params."""
-    g = lambda k: f"{prefix}{k}"
-    sub = {k[len(prefix) :]: v for k, v in sd.items() if k.startswith(prefix)}
-    s = sub
+    s = {k[len(prefix) :]: v for k, v in sd.items() if k.startswith(prefix)}
     return {
         "time_embed_0": _dense(s, "time_embed.0"),
         "time_embed_2": _dense(s, "time_embed.2"),
@@ -241,13 +240,10 @@ def _encoder_conv_out_len(seq_len: int) -> int:
 
 def convert_bcvae(sd: StateDict, seq_len: int = 120) -> Tuple[Dict, Dict]:
     """Reference BCVAE state dict → (params, batch_stats) flax trees."""
-    t4 = _encoder_conv_out_len(seq_len)  # 55 for seq_len 120
-
-    # fc0 consumed torch's channel-major flatten (C=32 rows of length t4);
-    # permute its input columns to the channels-last order (t4 rows of 32).
-    fc0_w = sd["encoder.fc_layers.0.weight"]  # (256, 32*t4)
-    fc0_w = fc0_w.reshape(-1, 32, t4).transpose(0, 2, 1).reshape(fc0_w.shape[0], -1)
-
+    del seq_len  # layout handled in the model; kept for API stability
+    # The flax encoder transposes back to (B, C, T) before flattening
+    # (said_tpu/models/vae.py), reproducing torch's channel-major flatten,
+    # so fc0's weight needs no column permutation.
     enc_params = {
         "conv0": _conv(sd, "encoder.conv_layers.0"),
         "bn0": _bn_params(sd, "encoder.conv_layers.1"),
@@ -256,10 +252,7 @@ def convert_bcvae(sd: StateDict, seq_len: int = 120) -> Tuple[Dict, Dict]:
         "conv2": _conv(sd, "encoder.conv_layers.6"),
         "bn2": _bn_params(sd, "encoder.conv_layers.7"),
         "conv3": _conv(sd, "encoder.conv_layers.9"),
-        "fc0": {
-            "kernel": np.ascontiguousarray(fc0_w.T),
-            "bias": sd["encoder.fc_layers.0.bias"],
-        },
+        "fc0": _dense(sd, "encoder.fc_layers.0"),
         "fc_bn0": _bn_params(sd, "encoder.fc_layers.1"),
         "fc1": _dense(sd, "encoder.fc_layers.3"),
         "fc_bn1": _bn_params(sd, "encoder.fc_layers.4"),

@@ -1,23 +1,25 @@
-"""Test configuration: force CPU with 8 virtual devices BEFORE jax imports."""
+"""Test configuration: force CPU with 8 virtual devices.
+
+NOTE: on this jax build the JAX_PLATFORMS / XLA_FLAGS env vars are NOT
+honored (the TPU plugin registers regardless); only config updates work,
+so everything is set through jax.config before first backend use.
+"""
 
 import os
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# jax's default matmul/conv precision is reduced (bf16-class accumulation);
-# parity tests compare against torch fp32, so force full precision.
-os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import pathlib
 import sys
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import jax
 import pytest
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# jax's default matmul/conv precision allows reduced (bf16-class)
+# accumulation; parity tests compare against torch fp32.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 REFERENCE_ROOT = pathlib.Path("/root/reference")

@@ -114,6 +114,37 @@ def test_interp_matches_torch_align_corners():
         np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
 
 
+def test_wav2vec2_base_size_parity(reference_on_path):
+    """Full base architecture (7 convs, 768 hidden, 12 layers) on a short
+    waveform — exercises the real group counts and the 128-wide SamePad
+    positional conv that the small config can't."""
+    from said.model.wav2vec2 import ModifiedWav2Vec2Model
+
+    torch.manual_seed(1)
+    hf_cfg = transformers.Wav2Vec2Config(
+        apply_spec_augment=False,
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+    )
+    tm = ModifiedWav2Vec2Model(hf_cfg)
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_wav2vec2(sd)
+    model = Wav2Vec2Encoder(Wav2Vec2Config())
+
+    rng = np.random.default_rng(9)
+    wav = rng.standard_normal((1, 8000)).astype(np.float32)
+    num_frames = 30  # 0.5 s at 60 fps
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(wav), num_frames=num_frames).last_hidden_state.numpy()
+    j_out = model.apply({"params": params}, jnp.asarray(wav), num_frames)
+    assert j_out.shape == t_out.shape == (1, 30, 768)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=2e-4, rtol=1e-3)
+
+
 def test_feature_length_formula(jax_setup):
     model, _ = jax_setup
     cfg = model.config

@@ -87,21 +87,28 @@ def test_mask_keeps_region(schedule):
 
 
 def test_strength_skips_steps(schedule):
-    calls = []
-
-    def spy(x, t, ctx):
-        calls.append(int(np.asarray(t)[0]))
+    def zero_denoiser(x, t, ctx):
         return jnp.zeros_like(x)
 
     rng = jax.random.PRNGKey(0)
     latents = jax.random.normal(rng, (1, 8, 32))
     audio = jnp.ones((1, 8, 4))
     # strength 0.5 of 10 steps → only 5 denoise iterations, starting midway
-    sample(schedule, spy, rng, latents, audio, None,
-           SamplerConfig(num_inference_steps=10, strength=0.5, guidance_scale=1.0),
-           init_samples=latents)
-    assert len(calls) == 5
-    assert calls[0] == 400  # timesteps[-5] of leading-spaced 10-step grid
+    _, interms = sample(
+        schedule, zero_denoiser, rng, latents, audio, None,
+        SamplerConfig(num_inference_steps=10, strength=0.5, guidance_scale=1.0),
+        init_samples=latents,
+        save_intermediate=True,
+    )
+    assert interms.shape[0] == 5
+    # The chain starts from the inits noised to timesteps[-5] = 400 with
+    # the sampler's own rng split — reproduce it and compare.
+    _, init_rng = jax.random.split(rng)
+    noise = jax.random.normal(init_rng, latents.shape, latents.dtype)
+    expected0 = schedule.add_noise(latents, noise, jnp.asarray(400))
+    np.testing.assert_allclose(
+        np.asarray(interms[0]), np.asarray(expected0), atol=1e-6
+    )
 
 
 def test_save_intermediate(schedule):
