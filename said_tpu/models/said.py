@@ -90,11 +90,13 @@ class SAID(nn.Module):
         deterministic: bool = True,
         kv_caches: Optional[dict] = None,
         emb: Optional[jnp.ndarray] = None,
+        seq_len_real=None,
     ) -> jnp.ndarray:
         """Predict noise: (B, T, C), (B,), (B, S, E) → (B, T, C).
 
         ``kv_caches``/``emb`` activate the sampling fast path (see
-        ``said_tpu.models.unet1d.build_kv_caches``/``time_embed_table``).
+        ``said_tpu.models.unet1d.build_kv_caches``/``time_embed_table``);
+        ``seq_len_real`` the length-bucketed mode.
         """
         return self.denoiser(
             noisy_samples,
@@ -103,6 +105,7 @@ class SAID(nn.Module):
             deterministic,
             kv_caches=kv_caches,
             emb=emb,
+            seq_len_real=seq_len_real,
         )
 
     def get_audio_embedding(
@@ -111,10 +114,13 @@ class SAID(nn.Module):
         num_frames: Optional[int],
         mask_time_indices: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        input_length=None,
+        num_frames_real=None,
     ) -> jnp.ndarray:
         """(B, T_a) processed waveform → (B, num_frames, E) embedding."""
         feats = self.audio_encoder(
-            waveform, num_frames, mask_time_indices, deterministic
+            waveform, num_frames, mask_time_indices, deterministic,
+            input_length=input_length, num_frames_real=num_frames_real,
         )
         if self.feature_dim > 0:
             feats = self.audio_proj_layer(feats)
@@ -175,19 +181,23 @@ class SAIDPipeline:
         self._jit_cache: Dict = {}
 
     def _compiled(self, key, config: SamplerConfig, window_size: int,
-                  use_init: bool, use_mask: bool, save_intermediate: bool):
+                  use_init: bool, use_mask: bool, save_intermediate: bool,
+                  dynamic: bool = False):
         if key in self._jit_cache:
             return self._jit_cache[key]
 
         model = self.model
         schedule = self.schedule
 
-        def run(params, rng, waveform, latents, init_samples, mask):
+        def run(params, rng, waveform, latents, init_samples, mask,
+                input_length, window_real):
             audio_emb = model.apply(
                 {"params": params},
                 waveform,
                 window_size,
                 method=SAID.get_audio_embedding,
+                input_length=input_length if dynamic else None,
+                num_frames_real=window_real if dynamic else None,
             )
             uncond = None
             if config.do_cfg:
@@ -221,6 +231,7 @@ class SAIDPipeline:
                 window_size,
                 num_heads=heads,
                 dtype=model.dtype,
+                seq_len_real=window_real if dynamic else None,
             )
             emb_table = time_embed_table(
                 params["denoiser"], np.arange(model.diffusion_steps), mc
@@ -236,6 +247,7 @@ class SAIDPipeline:
                     deterministic=True,
                     kv_caches=kv_caches,
                     emb=emb_table[t],
+                    seq_len_real=window_real if dynamic else None,
                 )
 
             result, interms = sample(
@@ -271,11 +283,19 @@ class SAIDPipeline:
         rng: Optional[jax.Array] = None,
         latents: Optional[np.ndarray] = None,
         save_intermediate: bool = False,
+        length_bucket: int = 0,
     ) -> SAIDInferenceOutput:
         """Full inference (reference ``SAID.inference`` semantics).
 
         ``latents`` may be passed explicitly (parity tests inject the
         reference's gaussian draw); otherwise drawn from ``rng``.
+
+        ``length_bucket`` > 0 enables length-bucketed execution: inputs
+        are zero-padded to the next multiple of ``length_bucket`` frames
+        and a single compiled program serves every clip length within the
+        bucket (real frames are numerically identical to an unpadded run;
+        the padded tail of the returned array is garbage — slice to the
+        real window size, as the CLIs do).
         """
         waveform_processed = jnp.asarray(waveform_processed)
         if waveform_processed.ndim == 1:
@@ -283,6 +303,21 @@ class SAIDPipeline:
         b, t_a = waveform_processed.shape
         window_size = int(t_a / self.sampling_rate * fps)
         c = self.model.in_channels
+
+        dynamic = length_bucket > 0
+        window_real, t_a_real = window_size, t_a
+        if dynamic:
+            window_pad = int(np.ceil(window_size / length_bucket) * length_bucket)
+            t_a_pad = int(np.ceil(window_pad * self.sampling_rate / fps))
+            waveform_processed = jnp.pad(
+                waveform_processed, ((0, 0), (0, t_a_pad - t_a))
+            )
+            window_size, t_a = window_pad, t_a_pad
+
+        def pad_frames(arr):
+            if not dynamic or arr.shape[1] == window_size:
+                return arr
+            return jnp.pad(arr, ((0, 0), (0, window_size - arr.shape[1]), (0, 0)))
 
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -292,9 +327,9 @@ class SAIDPipeline:
             if init_samples is None:
                 latents = jax.random.normal(lat_rng, (b, window_size, c), jnp.float32)
             else:
-                latents = jnp.asarray(init_samples, jnp.float32)
+                latents = pad_frames(jnp.asarray(init_samples, jnp.float32))
         else:
-            latents = jnp.asarray(latents, jnp.float32)
+            latents = pad_frames(jnp.asarray(latents, jnp.float32))
 
         config = SamplerConfig(
             num_inference_steps=num_inference_steps,
@@ -305,21 +340,32 @@ class SAIDPipeline:
         )
         use_init = init_samples is not None
         use_mask = use_init and mask is not None
-        key = (b, t_a, window_size, config, use_init, use_mask, save_intermediate)
-        fn = self._compiled(key, config, window_size, use_init, use_mask, save_intermediate)
+        key = (b, t_a, window_size, config, use_init, use_mask, save_intermediate, dynamic)
+        fn = self._compiled(
+            key, config, window_size, use_init, use_mask, save_intermediate, dynamic
+        )
 
         init_arg = (
-            jnp.asarray(init_samples, jnp.float32)
+            pad_frames(jnp.asarray(init_samples, jnp.float32))
             if use_init
             else jnp.zeros((b, window_size, c), jnp.float32)
         )
         mask_arg = (
-            jnp.asarray(mask, jnp.float32)
+            pad_frames(jnp.asarray(mask, jnp.float32))
             if use_mask
             else jnp.zeros((b, window_size, c), jnp.float32)
         )
 
-        result, interms = fn(self.params, rng, waveform_processed, latents, init_arg, mask_arg)
+        result, interms = fn(
+            self.params,
+            rng,
+            waveform_processed,
+            latents,
+            init_arg,
+            mask_arg,
+            jnp.asarray(t_a_real, jnp.int32),
+            jnp.asarray(window_real, jnp.int32),
+        )
         return SAIDInferenceOutput(
             result=np.asarray(result),
             intermediates=np.asarray(interms) if save_intermediate else None,

@@ -33,8 +33,8 @@ import numpy as np
 from flax import linen as nn
 
 from said_tpu.ops.attention import banded_attention_cached, multi_head_attention
-from said_tpu.ops.masks import band_gather_indices
-from said_tpu.ops.norms import group_norm, layer_norm_f32
+from said_tpu.ops.masks import alignment_band_dynamic, band_gather_indices
+from said_tpu.ops.norms import group_norm, group_norm_masked, layer_norm_f32
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
@@ -61,11 +61,13 @@ class GroupNorm32(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, seq_mask=None) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm(x, self.num_groups, scale, bias, self.eps)
+        if seq_mask is None:
+            return group_norm(x, self.num_groups, scale, bias, self.eps)
+        return group_norm_masked(x, self.num_groups, scale, bias, seq_mask, self.eps)
 
 
 class LayerNormF32(nn.Module):
@@ -94,18 +96,32 @@ class ResBlock1D(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, emb: jnp.ndarray, deterministic: bool = True
+        self,
+        x: jnp.ndarray,
+        emb: jnp.ndarray,
+        deterministic: bool = True,
+        seq_mask=None,
     ) -> jnp.ndarray:
         c_in = x.shape[-1]
-        h = GroupNorm32(name="in_norm")(x)
+
+        def zero_pads(v):
+            # SAME convs mix neighbors; keep pads at exactly the zero the
+            # unpadded program's boundary padding would supply.
+            if seq_mask is None:
+                return v
+            return v * seq_mask[None, :, None].astype(v.dtype)
+
+        h = GroupNorm32(name="in_norm")(x, seq_mask)
         h = jax.nn.silu(h)
-        h = nn.Conv(self.out_channels, (3,), padding=1, dtype=self.dtype, name="in_conv")(h)
+        h = nn.Conv(self.out_channels, (3,), padding=1, dtype=self.dtype, name="in_conv")(
+            zero_pads(h)
+        )
 
         e = jax.nn.silu(emb)
         e = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(e)
         h = h + e[:, None, :].astype(h.dtype)
 
-        h = GroupNorm32(name="out_norm")(h)
+        h = GroupNorm32(name="out_norm")(h, seq_mask)
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(
@@ -115,7 +131,7 @@ class ResBlock1D(nn.Module):
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             name="out_conv",
-        )(h)
+        )(zero_pads(h))
 
         if c_in == self.out_channels:
             skip = x
@@ -200,12 +216,22 @@ class BasicTransformerBlock(nn.Module):
         context: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         kv_cache: Optional[tuple] = None,
+        seq_mask=None,
+        seq_len_real=None,
     ) -> jnp.ndarray:
+        self_mask = None
+        self_impl = self.self_attn_impl
+        if seq_mask is not None:
+            # Bucketed mode: mask padded keys; dense path handles the mask
+            # (the Pallas kernel is static-shape only).
+            self_mask = jnp.broadcast_to(seq_mask[None, :], (x.shape[1], x.shape[1]))
+            self_impl = "dense"
         x = x + CrossAttention(
             self.heads, self.dim_head, self.dropout, self.dtype, name="attn1"
         )(
             LayerNormF32(name="norm1")(x),
-            impl=self.self_attn_impl,
+            mask=self_mask,
+            impl=self_impl,
             deterministic=deterministic,
         )
 
@@ -214,7 +240,13 @@ class BasicTransformerBlock(nn.Module):
         cross_impl = "dense"
         if context is not None and kv_cache is None:
             t, s = x.shape[1], context.shape[1]
-            if self.cross_attn_impl == "banded":
+            if seq_len_real is not None:
+                # traced-length band (context interpolated to the frame
+                # count, so both real lengths coincide)
+                idx, valid = alignment_band_dynamic(t, s, seq_len_real, seq_len_real, self.align_pad)
+                band = (idx, valid)
+                cross_impl = "banded"
+            elif self.cross_attn_impl == "banded":
                 idx, valid, _ = band_gather_indices(t, s, self.align_pad)
                 band = (idx, valid)
                 cross_impl = "banded"
@@ -263,9 +295,11 @@ class SpatialTransformer(nn.Module):
         context: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         kv_cache: Optional[list] = None,
+        seq_mask=None,
+        seq_len_real=None,
     ) -> jnp.ndarray:
         x_in = x
-        h = GroupNorm32(num_groups=32, eps=1e-6, name="norm")(x)
+        h = GroupNorm32(num_groups=32, eps=1e-6, name="norm")(x, seq_mask)
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads,
@@ -280,6 +314,8 @@ class SpatialTransformer(nn.Module):
                 context=context,
                 deterministic=deterministic,
                 kv_cache=None if kv_cache is None else kv_cache[d],
+                seq_mask=seq_mask,
+                seq_len_real=seq_len_real,
             )
         h = nn.Conv(
             x.shape[-1],
@@ -323,6 +359,7 @@ class UNet1DConditionModel(nn.Module):
         deterministic: bool = True,
         kv_caches: Optional[dict] = None,
         emb: Optional[jnp.ndarray] = None,
+        seq_len_real=None,
     ) -> jnp.ndarray:
         """Denoise. sample (B, T, C_in); timesteps () or (B,);
         context (B, S, cross_attention_dim). Returns (B, T, C_out).
@@ -331,8 +368,16 @@ class UNet1DConditionModel(nn.Module):
         precomputed ``emb`` (from ``time_embed_table``) replace the
         loop-invariant context projections / timestep MLP inside the
         denoise loop.
+
+        Length-bucketed mode: ``seq_len_real`` (traced scalar) marks how
+        many of the T frames are real; masked norms/attention + pre-conv
+        pad zeroing make the real frames EXACTLY equal an unpadded run,
+        so one compiled program serves every length up to the bucket.
         """
         b = sample.shape[0]
+        seq_mask = None
+        if seq_len_real is not None:
+            seq_mask = jnp.arange(sample.shape[1]) < jnp.asarray(seq_len_real, jnp.int32)
 
         mc = self.model_channels
         heads = mc // self.num_head_channels
@@ -363,50 +408,62 @@ class UNet1DConditionModel(nn.Module):
         )
 
         x = sample.astype(self.dtype)
+        if seq_mask is not None:
+            x = x * seq_mask[None, :, None].astype(x.dtype)
         if context is not None:
             context = context.astype(self.dtype)
 
         h0 = nn.Conv(mc, (3,), padding=1, dtype=self.dtype, name="input_conv")(x)
 
         h1 = ResBlock1D(mc, self.dropout, self.dtype, name="input_res")(
-            h0, emb, deterministic
+            h0, emb, deterministic, seq_mask
         )
         h1 = SpatialTransformer(**st_kwargs, name="input_attn")(
             h1, context, deterministic,
             kv_cache=None if kv_caches is None else kv_caches["input_attn"],
+            seq_mask=seq_mask,
+            seq_len_real=seq_len_real,
         )
 
         hm = ResBlock1D(mc, self.dropout, self.dtype, name="middle_res1")(
-            h1, emb, deterministic
+            h1, emb, deterministic, seq_mask
         )
         hm = SpatialTransformer(**st_kwargs, name="middle_attn")(
             hm, context, deterministic,
             kv_cache=None if kv_caches is None else kv_caches["middle_attn"],
+            seq_mask=seq_mask,
+            seq_len_real=seq_len_real,
         )
         hm = ResBlock1D(mc, self.dropout, self.dtype, name="middle_res2")(
-            hm, emb, deterministic
+            hm, emb, deterministic, seq_mask
         )
 
         o = jnp.concatenate([hm, h1], axis=-1)
         o = ResBlock1D(mc, self.dropout, self.dtype, name="output_res0")(
-            o, emb, deterministic
+            o, emb, deterministic, seq_mask
         )
         o = SpatialTransformer(**st_kwargs, name="output_attn0")(
             o, context, deterministic,
             kv_cache=None if kv_caches is None else kv_caches["output_attn0"],
+            seq_mask=seq_mask,
+            seq_len_real=seq_len_real,
         )
 
         o = jnp.concatenate([o, h0], axis=-1)
         o = ResBlock1D(mc, self.dropout, self.dtype, name="output_res1")(
-            o, emb, deterministic
+            o, emb, deterministic, seq_mask
         )
         o = SpatialTransformer(**st_kwargs, name="output_attn1")(
             o, context, deterministic,
             kv_cache=None if kv_caches is None else kv_caches["output_attn1"],
+            seq_mask=seq_mask,
+            seq_len_real=seq_len_real,
         )
 
-        o = GroupNorm32(name="out_norm")(o)
+        o = GroupNorm32(name="out_norm")(o, seq_mask)
         o = jax.nn.silu(o)
+        if seq_mask is not None:
+            o = o * seq_mask[None, :, None].astype(o.dtype)
         o = nn.Conv(
             self.out_channels,
             (3,),
@@ -431,6 +488,7 @@ def build_kv_caches(
     num_heads: int = 6,
     align_pad: int = 1,
     dtype: Any = None,
+    seq_len_real=None,
 ) -> dict:
     """Precompute per-block banded K/V gathers for a fixed context.
 
@@ -443,9 +501,12 @@ def build_kv_caches(
     if dtype is not None:
         context = context.astype(dtype)
     s = context.shape[1]
-    idx, valid, _w = band_gather_indices(x_len, s, align_pad)
-    idx = jnp.asarray(idx)
-    valid = jnp.asarray(valid)
+    if seq_len_real is not None:
+        idx, valid = alignment_band_dynamic(x_len, s, seq_len_real, seq_len_real, align_pad)
+    else:
+        idx, valid, _w = band_gather_indices(x_len, s, align_pad)
+        idx = jnp.asarray(idx)
+        valid = jnp.asarray(valid)
 
     caches = {}
     for name in ("input_attn", "middle_attn", "output_attn0", "output_attn1"):

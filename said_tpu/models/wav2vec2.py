@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from said_tpu.ops.norms import group_norm, layer_norm_f32
-from said_tpu.ops.resample import linear_interp_time
+from said_tpu.ops.norms import group_norm, group_norm_masked, layer_norm_f32
+from said_tpu.ops.resample import linear_interp_time, linear_interp_time_dynamic
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,7 +38,7 @@ class Wav2Vec2Config:
 
     conv_dim: Tuple[int, ...] = (512,) * 7
     conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
-    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 3, 2)
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
     conv_bias: bool = False
     feat_extract_norm: str = "group"  # "group" (base) | "layer" (large)
     hidden_size: int = 768
@@ -71,7 +71,7 @@ class _ConvLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, seq_mask=None) -> jnp.ndarray:
         x = nn.Conv(
             self.out_dim,
             (self.kernel,),
@@ -86,10 +86,18 @@ class _ConvLayer(nn.Module):
             c = x.shape[-1]
             scale = self.param("norm_scale", nn.initializers.ones, (c,), jnp.float32)
             bias = self.param("norm_bias", nn.initializers.zeros, (c,), jnp.float32)
-            x = group_norm(x, c, scale, bias, self.eps)
+            if seq_mask is None:
+                x = group_norm(x, c, scale, bias, self.eps)
+            else:
+                x = group_norm_masked(x, c, scale, bias, seq_mask, self.eps)
         elif self.use_layer_norm:
             x = LayerNormW2V(eps=self.eps, name="norm")(x)
-        return jax.nn.gelu(x, approximate=False)
+        x = jax.nn.gelu(x, approximate=False)
+        if seq_mask is not None:
+            # Keep padded positions exactly zero so downstream VALID convs
+            # of in-range outputs read only real samples.
+            x = x * seq_mask[None, :, None].astype(x.dtype)
+        return x
 
 
 class LayerNormW2V(nn.Module):
@@ -110,12 +118,22 @@ class FeatureExtractor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_values: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, input_values: jnp.ndarray, input_length=None):
+        """Returns features (B, T', C) and, when ``input_length`` (traced
+        real sample count) is given, the traced real feature length."""
         cfg = self.config
         x = input_values[:, :, None].astype(self.dtype)  # (B, T, 1)
+        real_len = None
+        if input_length is not None:
+            real_len = jnp.asarray(input_length, jnp.int32)
         for i, (dim, k, s) in enumerate(
             zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
         ):
+            out_len = (x.shape[1] - k) // s + 1
+            seq_mask = None
+            if real_len is not None:
+                real_len = (real_len - k) // s + 1
+                seq_mask = jnp.arange(out_len) < real_len
             x = _ConvLayer(
                 out_dim=dim,
                 kernel=k,
@@ -126,8 +144,8 @@ class FeatureExtractor(nn.Module):
                 eps=cfg.layer_norm_eps,
                 dtype=self.dtype,
                 name=f"conv_{i}",
-            )(x)
-        return x
+            )(x, seq_mask)
+        return x, real_len
 
 
 class EncoderLayer(nn.Module):
@@ -137,7 +155,9 @@ class EncoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, key_mask=None
+    ) -> jnp.ndarray:
         cfg = self.config
         h = cfg.hidden_size
         heads = cfg.num_attention_heads
@@ -152,6 +172,9 @@ class EncoderLayer(nn.Module):
         kh = k.reshape(b, t, heads, d)
         vh = v.reshape(b, t, heads, d)
         scores = jnp.einsum("bthd,bshd->bhts", qh, kh)
+        if key_mask is not None:
+            neg = jnp.asarray(-np.finfo(np.float32).max, scores.dtype)
+            scores = jnp.where(key_mask[None, None, None, :], scores, neg)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhts,bshd->bthd", attn, vh).reshape(b, t, h)
         out = nn.Dense(h, dtype=self.dtype, name="out_proj")(out)
@@ -206,12 +229,30 @@ class Wav2Vec2Encoder(nn.Module):
         num_frames: Optional[int] = None,
         mask_time_indices: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        input_length=None,
+        num_frames_real=None,
     ) -> jnp.ndarray:
-        cfg = self.config
+        """Waveform → embedding.
 
-        feats = FeatureExtractor(cfg, self.dtype, name="feature_extractor")(input_values)
+        Length-bucketed mode: when ``input_length``/``num_frames_real``
+        (traced scalars, real sample/frame counts within the padded
+        buffers) are given, the first ``num_frames_real`` output frames
+        equal the exact unpadded computation — ONE compiled program
+        serves every clip length up to the bucket size.
+        """
+        cfg = self.config
+        dynamic = input_length is not None
+
+        feats, feat_real_len = FeatureExtractor(
+            cfg, self.dtype, name="feature_extractor"
+        )(input_values, input_length)
         if num_frames is not None:
-            feats = linear_interp_time(feats, num_frames)
+            if dynamic:
+                feats = linear_interp_time_dynamic(
+                    feats, num_frames, feat_real_len, num_frames_real
+                )
+            else:
+                feats = linear_interp_time(feats, num_frames)
 
         # Feature projection: LN → Dense(512 → hidden)
         h = LayerNormW2V(eps=cfg.layer_norm_eps, name="fp_layer_norm")(feats)
@@ -231,11 +272,25 @@ class Wav2Vec2Encoder(nn.Module):
                 h,
             )
 
+        frame_mask = None
+        if dynamic:
+            real_frames = (
+                jnp.asarray(num_frames_real, jnp.int32)
+                if num_frames is not None
+                else feat_real_len
+            )
+            frame_mask = jnp.arange(h.shape[1]) < real_frames
+            # Zero the pads so the SAME-padded positional conv sees exactly
+            # the zero boundary the unpadded program would.
+            h = h * frame_mask[None, :, None].astype(h.dtype)
+
         # Encoder: positional conv + LN + layers
         h = h + PositionalConvEmbedding(cfg, self.dtype, name="pos_conv")(h)
         h = LayerNormW2V(eps=cfg.layer_norm_eps, name="encoder_layer_norm")(h)
         for i in range(cfg.num_hidden_layers):
-            h = EncoderLayer(cfg, self.dtype, name=f"layer_{i}")(h, deterministic)
+            h = EncoderLayer(cfg, self.dtype, name=f"layer_{i}")(
+                h, deterministic, key_mask=frame_mask
+            )
         return h
 
 

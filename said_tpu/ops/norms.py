@@ -43,3 +43,30 @@ def layer_norm_f32(
     out = (xf - mean) / jnp.sqrt(var + eps)
     out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def group_norm_masked(
+    x, num_groups: int, scale, bias, seq_mask, eps: float = 1e-5
+):
+    """GroupNorm whose statistics ignore padded frames.
+
+    Produces, at the valid frames, exactly what ``group_norm`` would
+    produce on the unpadded tensor. seq_mask: (T,) or (B, T) bool.
+    """
+    import jax.numpy as jnp
+
+    b, t, c = x.shape
+    g = num_groups
+    if seq_mask.ndim == 1:
+        seq_mask = seq_mask[None, :]
+    m = seq_mask[:, :, None].astype(jnp.float32)  # (B, T, 1)
+    count = m.sum(axis=1, keepdims=True) * (c // g)  # frames × chans/group
+
+    xf = (x.astype(jnp.float32) * m).reshape(b, t, g, c // g)
+    mean = xf.sum(axis=(1, 3), keepdims=True) / count[..., None]
+    var = (
+        ((xf - mean) * m[..., None]) ** 2
+    ).sum(axis=(1, 3), keepdims=True) / count[..., None]
+    out = (x.astype(jnp.float32).reshape(b, t, g, c // g) - mean) / jnp.sqrt(var + eps)
+    out = out.reshape(b, t, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype)

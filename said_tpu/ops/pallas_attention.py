@@ -113,7 +113,15 @@ def _flash_tpu(q, k, v, block_q: int = 256):
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Attention over (B, T, H, D) tensors; Pallas on TPU, dense elsewhere."""
+    """Attention over (B, T, H, D) tensors; Pallas on TPU, dense elsewhere.
+
+    Short sequences route to the XLA dense path even on TPU — measured
+    crossover on v5e: below ~1k frames the fused dense einsums beat the
+    kernel (whose win is keeping the (T, S) scores out of HBM, which
+    only matters once they stop fitting in cache-friendly sizes).
+    """
     if jax.default_backend() != "tpu":
+        return _dense_reference(q, k, v)
+    if q.shape[1] <= 1024 and k.shape[1] <= 1024:
         return _dense_reference(q, k, v)
     return _flash_tpu(q, k, v)

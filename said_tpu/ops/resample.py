@@ -37,3 +37,31 @@ def linear_interp_time(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     x_hi = x[:, lo_j + 1, :]
     # Same two-weight form as torch's upsample kernel.
     return x_lo * (1.0 - frac_j) + x_hi * frac_j
+
+
+def linear_interp_time_dynamic(x, out_len_pad: int, in_real, out_real):
+    """Traced-length align-corners resample for bucketed inference.
+
+    x (B, T_pad, C) holds ``in_real`` valid frames; produce
+    (B, out_len_pad, C) whose first ``out_real`` frames equal the exact
+    align-corners interpolation of the valid region (identical to the
+    unpadded computation); the rest is garbage the caller masks.
+    """
+    import jax.numpy as jnp
+
+    t_pad = x.shape[1]
+    in_real = jnp.asarray(in_real, jnp.int32)
+    out_real = jnp.asarray(out_real, jnp.int32)
+    j = jnp.arange(out_len_pad, dtype=jnp.int32)
+    # Exact integer split of src = j*(in-1)/(out-1): float32 would lose
+    # precision at large coordinates and break bucketed/unbucketed parity.
+    denom = jnp.maximum(out_real - 1, 1)
+    num = j * (in_real - 1)
+    lo = jnp.clip(num // denom, 0, jnp.maximum(in_real - 2, 0))
+    lo = jnp.clip(lo, 0, t_pad - 2)
+    rem = num - lo * denom  # ≤ 2·denom, exact in int32 and float32
+    frac = (rem.astype(jnp.float32) / denom.astype(jnp.float32)).astype(x.dtype)
+    frac = frac[None, :, None]
+    x_lo = jnp.take(x, lo, axis=1)
+    x_hi = jnp.take(x, lo + 1, axis=1)
+    return x_lo * (1.0 - frac) + x_hi * frac
