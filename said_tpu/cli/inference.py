@@ -56,6 +56,11 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "--attn_impl", type=str, default="auto", choices=["auto", "dense", "flash"]
     )
+    parser.add_argument(
+        "--length_bucket", type=int, default=0,
+        help="pad to multiples of this many frames so one compiled program "
+             "serves all clip lengths (0 = exact-shape compile per length)",
+    )
 
 
 def main(argv=None) -> None:
@@ -101,6 +106,7 @@ def main(argv=None) -> None:
         fps=args.fps,
         rng=jax.random.PRNGKey(args.seed),
         save_intermediate=args.save_intermediate,
+        length_bucket=args.length_bucket,
     )
 
     result = output.result[0, :window_len]

@@ -122,6 +122,16 @@ def main(argv=None) -> None:
     parser.add_argument("--wind_num_clusters", type=int, default=5)
     parser.add_argument("--wind_num_repeats", type=int, default=10)
     parser.add_argument("--device", type=str, default="", help="ignored (jax selects)")
+    parser.add_argument(
+        "--beat_consistency", action="store_true",
+        help="also compute the beat-consistency score (the reference "
+             "implements but disables it, script/test_evaluate.py:388-396)",
+    )
+    parser.add_argument(
+        "--vertex_error", action="store_true",
+        help="also compute the max vertex error (requires "
+             "--blendshape_residuals_path)",
+    )
     args = parser.parse_args(argv)
 
     model, params, batch_stats = load_vae(args.vae_weights_path)
@@ -165,13 +175,54 @@ def main(argv=None) -> None:
         "std": statistics.stdev(scores) if len(scores) > 1 else 0.0,
     }
 
-    print(
-        {
-            "frechet_distance": fd,
-            "multimodality": mm,
-            "wind": wind_stat,
+    metrics = {
+        "frechet_distance": fd,
+        "multimodality": mm,
+        "wind": wind_stat,
+    }
+
+    if args.beat_consistency:
+        from said_tpu.eval.metrics import beat_consistency_score
+
+        real_keys = {
+            (real_dataset.data_paths[i].person_id, real_dataset.data_paths[i].sentence_id)
+            for i in range(len(real_dataset))
         }
-    )
+        waves, coeffs_list = [], []
+        for i in range(len(eval_dataset)):
+            dp = eval_dataset.data_paths[i]
+            if (dp.person_id, dp.sentence_id) not in real_keys:
+                continue
+            item = eval_dataset[i]
+            waves.append(np.asarray(item.waveform))
+            coeffs_list.append(np.asarray(item.blendshape_coeffs))
+        metrics["beat_consistency"] = beat_consistency_score(
+            waves, coeffs_list, 16000, 60, args.bc_threshold
+        )
+
+    if args.vertex_error and args.blendshape_residuals_path:
+        deltas, real_coeffs = {}, {}
+        for i in range(len(real_dataset)):
+            item = real_dataset[i]
+            deltas[item.person_id] = item.blendshape_delta
+            real_coeffs[(item.person_id, item.sentence_id)] = item.blendshape_coeffs
+        errors = []
+        for i in range(len(eval_dataset)):
+            item = eval_dataset[i]
+            gt = real_coeffs.get((item.person_id, item.sentence_id))
+            if gt is None:
+                continue
+            delta = deltas[item.person_id]  # (K, V, 3)
+            n = min(gt.shape[0], item.blendshape_coeffs.shape[0])
+            cdiff = np.einsum(
+                "tc,cvi->tvi", gt[:n] - item.blendshape_coeffs[:n], delta
+            )
+            vdiff = np.sqrt((cdiff**2).sum(axis=(1, 2)))
+            errors.append(float(vdiff.max()))
+        if errors:
+            metrics["vertex_error"] = float(np.mean(errors))
+
+    print(metrics)
 
 
 if __name__ == "__main__":

@@ -49,6 +49,11 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--attn_impl", type=str, default="auto", choices=["auto", "dense", "flash"]
     )
+    parser.add_argument(
+        "--length_bucket", type=int, default=256,
+        help="frame bucketing so a handful of compiled programs serve the "
+             "whole sweep (0 = exact-shape compile per clip length)",
+    )
     args = parser.parse_args(argv)
 
     model = build_said_model(
@@ -96,6 +101,7 @@ def main(argv=None) -> None:
                 eta=args.eta,
                 fps=args.fps,
                 rng=step_rng,
+                length_bucket=args.length_bucket,
             )
             for sdx in range(chunk):
                 save_blendshape_coeffs(
