@@ -68,10 +68,24 @@ def init_said_params(model: SAID, seed: int = 0):
 
 
 def load_said_params(weights_path: Optional[str], model: SAID, seed: int = 0):
-    """Load params from a torch .pth / orbax dir, or random-init."""
+    """Load params: torch .pth (full SAiD), HF wav2vec2 snapshot dir
+    (audio encoder only, rest random — the reference's training init),
+    orbax checkpoint dir, or random-init when empty."""
     if not weights_path:
         return init_said_params(model, seed)
     if os.path.isdir(weights_path):
+        if any(
+            os.path.exists(os.path.join(weights_path, f))
+            for f in ("model.safetensors", "pytorch_model.bin")
+        ):
+            from said_tpu.utils.torch_import import convert_wav2vec2, load_state_dict
+
+            params = init_said_params(model, seed)
+            sd = load_state_dict(weights_path)
+            # HF hub checkpoints may or may not carry the wav2vec2. prefix
+            prefix = "wav2vec2." if any(k.startswith("wav2vec2.") for k in sd) else ""
+            params["audio_encoder"] = convert_wav2vec2(sd, prefix=prefix)
+            return params
         from said_tpu.core.checkpoint import restore_train_state
 
         target = init_said_params(model, seed)

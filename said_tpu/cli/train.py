@@ -84,6 +84,11 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
                         help="optional pretrained .pth (e.g. wav2vec2 import)")
     parser.add_argument("--resume", type=str, default="")
     parser.add_argument("--export_pth", type=bool, default=True)
+    parser.add_argument(
+        "--spec_augment", type=bool, default=True,
+        help="apply wav2vec2 time masking during training (the reference "
+             "trains with the HF encoder in train mode, which does this)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
         "--dtype", type=str, default="float32", choices=["float32", "bfloat16"]
@@ -191,6 +196,7 @@ def main(argv=None) -> None:
 
     writer = MetricsWriter(args.output_dir, "SAiD")
     rng = jax.random.PRNGKey(args.seed)
+    spec_rng = np.random.default_rng(args.seed + 17)
 
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -209,6 +215,13 @@ def main(argv=None) -> None:
         else:
             waves = batch.waveform
         wave_np = process_audio(np.stack(waves))
+        mask_time = None
+        if bucket and args.spec_augment:
+            from said_tpu.models.wav2vec2 import compute_time_mask_indices
+
+            mask_time = compute_time_mask_indices(
+                (wave_np.shape[0], coeffs.shape[1]), rng=spec_rng
+            )
         # Replicate batches that don't divide the data axis (e.g. the
         # batch-1 validation loader) instead of erroring.
         from said_tpu.parallel.mesh import replicated
@@ -225,6 +238,8 @@ def main(argv=None) -> None:
             out["blendshape_delta"] = jax.device_put(
                 batch.blendshape_delta.astype(np.float32), shard
             )
+        if mask_time is not None:
+            out["mask_time_indices"] = jax.device_put(mask_time, shard)
         return out
 
     for epoch in range(1, args.epochs + 1):

@@ -38,6 +38,9 @@ class SamplerConfig:
     guidance_scale: float = 2.5
     guidance_rescale: float = 0.0
     eta: float = 0.0
+    # lax.scan unroll factor: trades compile time/size for lower
+    # per-iteration loop overhead on TPU.
+    unroll: int = 1
 
     @property
     def do_cfg(self) -> bool:
@@ -147,7 +150,7 @@ def sample(
 
     step_rngs = jax.random.split(rng, k)
     xs = (jnp.asarray(ts_used), jnp.asarray(ts_next), step_rngs)
-    final, interms = jax.lax.scan(step, latents, xs)
+    final, interms = jax.lax.scan(step, latents, xs, unroll=cfg.unroll)
 
     result = jnp.clip(final / latent_scale, 0.0, 1.0)
     return result, interms

@@ -284,6 +284,7 @@ class SAIDPipeline:
         latents: Optional[np.ndarray] = None,
         save_intermediate: bool = False,
         length_bucket: int = 0,
+        scan_unroll: int = 1,
     ) -> SAIDInferenceOutput:
         """Full inference (reference ``SAID.inference`` semantics).
 
@@ -337,6 +338,7 @@ class SAIDPipeline:
             guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale,
             eta=eta,
+            unroll=scan_unroll,
         )
         use_init = init_samples is not None
         use_mask = use_init and mask is not None

@@ -104,6 +104,7 @@ def said_loss(
     blendshape_delta: Optional[jnp.ndarray],  # (B, K, V, 3) or None
     config: TrainConfig,
     train: bool = True,
+    mask_time_indices: Optional[jnp.ndarray] = None,  # (B, window) bool
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Randomized-noise training loss (reference ``random_noise_loss``)."""
     b, window, c = coeffs.shape
@@ -118,8 +119,11 @@ def said_loss(
         variables,
         waveform,
         window,
+        mask_time_indices=mask_time_indices,
         method=SAID.get_audio_embedding,
-        deterministic=True,  # encoder frozen & eval (dropout off)
+        deterministic=True,  # encoder frozen; dropout off (spec-augment
+        # time masking, which HF applies in train mode, comes in through
+        # mask_time_indices computed host-side)
     )
     uncond_embedding = model.apply(
         variables, b, cond_embedding.shape[1], method=SAID.null_embedding
@@ -195,6 +199,7 @@ def make_train_step(model: SAID, schedule: DiffusionSchedule, config: TrainConfi
                 batch.get("blendshape_delta"),
                 config,
                 train=True,
+                mask_time_indices=batch.get("mask_time_indices"),
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

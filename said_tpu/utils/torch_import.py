@@ -36,7 +36,26 @@ StateDict = Dict[str, Array]
 
 
 def load_state_dict(path: str) -> StateDict:
-    """Load a torch .pth checkpoint into a {name: numpy array} dict."""
+    """Load a checkpoint into a {name: numpy array} dict.
+
+    Accepts a torch ``.pth``/``.bin`` pickle, a ``.safetensors`` file, or
+    an HF model directory (e.g. a local facebook/wav2vec2-base-960h
+    snapshot) containing either serialization.
+    """
+    import os
+
+    if os.path.isdir(path):
+        for candidate in ("model.safetensors", "pytorch_model.bin"):
+            p = os.path.join(path, candidate)
+            if os.path.exists(p):
+                return load_state_dict(p)
+        raise FileNotFoundError(f"no model weights found under {path}")
+
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)

@@ -1,0 +1,135 @@
+"""Training-loss semantics: vertex loss, std reweighting, spec augment,
+prediction types, frozen-encoder optimizer mask."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from said_tpu.cli._common import init_said_params
+from said_tpu.diffusion.schedule import DiffusionSchedule
+from said_tpu.models.said import SAID, process_audio
+from said_tpu.models.wav2vec2 import Wav2Vec2Config, compute_time_mask_indices
+from said_tpu.train.said_train import TrainConfig, make_optimizer, said_loss
+
+TINY = Wav2Vec2Config(
+    conv_dim=(16, 16),
+    conv_stride=(5, 2),
+    conv_kernel=(10, 3),
+    hidden_size=32,
+    num_hidden_layers=1,
+    num_attention_heads=2,
+    intermediate_size=64,
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+    output_hidden_size=32,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = SAID(audio_config=TINY)
+    params = init_said_params(model, seed=0)
+    schedule = DiffusionSchedule.create(1000)
+    rng = np.random.default_rng(0)
+    b, window = 2, 16
+    wave = jnp.asarray(
+        process_audio(rng.standard_normal((b, (16000 * window) // 60)).astype(np.float32))
+    )
+    coeffs = jnp.asarray(rng.uniform(0, 1, (b, window, 32)).astype(np.float32))
+    cond = jnp.asarray(np.array([True, False]))
+    return model, params, schedule, wave, coeffs, cond
+
+
+def _loss(setup_t, config=TrainConfig(), **kw):
+    model, params, schedule, wave, coeffs, cond = setup_t
+    return said_loss(
+        model, schedule, params, jax.random.PRNGKey(0),
+        wave, coeffs, cond,
+        kw.pop("std", None), kw.pop("blendshape_delta", None),
+        config, train=kw.pop("train", False), **kw,
+    )
+
+
+def test_vertex_loss_included(setup):
+    rng = np.random.default_rng(1)
+    delta = jnp.asarray(rng.standard_normal((2, 32, 50, 3)).astype(np.float32))
+    loss_with, metrics = _loss(setup, blendshape_delta=delta)
+    assert "loss_vertex" in metrics
+    loss_without, metrics2 = _loss(setup)
+    cfg = TrainConfig()
+    expected = float(metrics2["loss"]) + cfg.weight_vertex * float(metrics["loss_vertex"])
+    # pred/velocity parts identical (same rng) → totals differ by the
+    # weighted vertex term
+    np.testing.assert_allclose(float(loss_with), expected, rtol=1e-5)
+
+
+def test_std_reweighting_changes_loss(setup):
+    std = jnp.asarray(np.linspace(0.5, 2.0, 32).astype(np.float32))
+    _, m_plain = _loss(setup)
+    _, m_std = _loss(setup, std=std)
+    assert abs(float(m_plain["loss"]) - float(m_std["loss"])) > 1e-6
+
+
+@pytest.mark.parametrize("pt", ["epsilon", "sample", "v_prediction"])
+def test_prediction_types_finite(setup, pt):
+    loss, _ = _loss(setup, config=TrainConfig(prediction_type=pt))
+    assert np.isfinite(float(loss))
+
+
+def test_spec_augment_changes_embedding_path(setup):
+    model, params, schedule, wave, coeffs, cond = setup
+    # Fresh params have zero-initialized output convs (guided-diffusion
+    # convention) — both the UNet's final conv AND every transformer's
+    # proj_out — so at init the prediction is blind to the conditioning.
+    # Perturb them so the loss can see the embedding.
+    params = jax.tree_util.tree_map(jnp.array, params)
+    den = params["denoiser"]
+    keys = jax.random.split(jax.random.PRNGKey(3), 5)
+    den["out_conv"]["kernel"] = (
+        jax.random.normal(keys[0], den["out_conv"]["kernel"].shape) * 0.05
+    )
+    for i, name in enumerate(
+        ["input_attn", "middle_attn", "output_attn0", "output_attn1"]
+    ):
+        k = den[name]["proj_out"]["kernel"]
+        den[name]["proj_out"]["kernel"] = (
+            jax.random.normal(keys[i + 1], k.shape, k.dtype) * 0.05
+        )
+    perturbed = (model, params, schedule, wave, coeffs, cond)
+
+    mask = compute_time_mask_indices((2, 16), mask_prob=0.5, mask_length=4,
+                                     rng=np.random.default_rng(0))
+    assert mask.any()
+    _, m_plain = _loss(perturbed)
+    _, m_masked = _loss(perturbed, mask_time_indices=jnp.asarray(mask))
+    assert abs(float(m_plain["loss"]) - float(m_masked["loss"])) > 1e-8
+
+
+def test_audio_encoder_frozen_by_optimizer_mask(setup):
+    model, params, schedule, wave, coeffs, cond = setup
+    config = TrainConfig()
+    tx = make_optimizer(config)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        l, _ = said_loss(model, schedule, p, jax.random.PRNGKey(0), wave, coeffs,
+                         cond, None, None, config, train=False)
+        return l
+
+    grads = jax.grad(loss_fn)(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+
+    enc_diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        params["audio_encoder"], new_params["audio_encoder"],
+    )
+    assert max(jax.tree_util.tree_leaves(enc_diff)) == 0.0
+    den_diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        params["denoiser"], new_params["denoiser"],
+    )
+    assert max(jax.tree_util.tree_leaves(den_diff)) > 0.0
