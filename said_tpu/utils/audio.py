@@ -53,8 +53,12 @@ def save_audio(audio_path: str, waveform: np.ndarray, sampling_rate: int) -> Non
     """Write a float32 mono waveform as 16-bit PCM WAV."""
     from scipy.io import wavfile
 
-    pcm = np.clip(waveform, -1.0, 1.0)
-    wavfile.write(audio_path, sampling_rate, (pcm * 32767.0).astype(np.int16))
+    # Scale by 32768 (the loader's divisor) and round, so a save/load
+    # round trip is exact to 0.5 LSB.
+    pcm = np.round(np.clip(waveform, -1.0, 1.0) * 32768.0)
+    wavfile.write(
+        audio_path, sampling_rate, np.clip(pcm, -32768, 32767).astype(np.int16)
+    )
 
 
 def resample(waveform: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
