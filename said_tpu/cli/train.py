@@ -39,7 +39,7 @@ from said_tpu.data.blendvoca import (
 )
 from said_tpu.data.loader import DataLoader
 from said_tpu.diffusion.schedule import DiffusionSchedule
-from said_tpu.models.said import SAID, process_audio
+from said_tpu.models.said import process_audio
 from said_tpu.parallel.mesh import MeshConfig, batch_sharding, make_mesh, shard_params
 from said_tpu.train.said_train import (
     TrainConfig,

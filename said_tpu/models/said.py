@@ -17,8 +17,7 @@ The identity latent hooks (``encode_samples``/``decode_latent``) and
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -1,25 +1,30 @@
-"""Pallas TPU attention kernel for the denoiser's self-attention.
+"""Pallas TPU attention kernels for the denoiser's self-attention.
 
-A query-blocked attention kernel: each grid step computes one block of
-queries against the FULL key/value sequence held in VMEM, with float32
-softmax. For this model family (head dim 32, sequences up to a few
-thousand frames) K/V for one (batch, head) are tens–hundreds of KB, so
-the full-K design is both simpler and faster than an online-softmax
-flash loop — the (T, S) score matrix never round-trips to HBM, which
-is the entire win over the XLA dense path.
+Two kernels plus a size-based router (``flash_attention``):
 
-Sequence lengths are padded to lane/sublane multiples on the host side;
-padded KEY positions are masked inside the kernel (padded QUERY rows
-produce garbage and are sliced off by the caller).
+- ``_flash_tpu_blocked`` — online-softmax flash attention over a
+  (batch·head, q-block, k-block) grid; float32 running max/denominator/
+  accumulator scratch carries across the sequential key axis, so the
+  (T, S) score matrix never exists outside VMEM. Used for long
+  sequences, and the only viable path once dense scores stop fitting.
+- ``_flash_tpu`` — simpler full-K-in-VMEM variant (kept for reference
+  and mid-length experiments).
 
-Falls back to a dense jnp computation off-TPU (CPU tests, interpret
-mode) so callers can select "flash" unconditionally.
+Measured on v5e with this model's head dim (32), XLA's dense attention
+wins below ~2k frames — the MXU is equally underfilled either way and
+XLA's fusions are free — so the router only engages the kernel beyond
+(2.0 vs 2.7 ms at 3600 frames; 4.2 vs 7.5 ms at 7200).
+
+Sequence lengths are padded to block multiples on the host side; padded
+KEY positions are masked inside the kernels (padded QUERY rows produce
+garbage and are sliced off by the caller). Off-TPU callers get the
+dense path, and the blocked kernel is CI-tested on CPU via interpret
+mode.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -113,7 +118,7 @@ def _flash_tpu(q, k, v, block_q: int = 256):
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _flash_tpu_blocked(q, k, v, block_q: int = 256, block_k: int = 512,
+def _flash_tpu_blocked(q, k, v, block_q: int = 512, block_k: int = 1024,
                        interpret: bool = False):
     """Online-softmax flash attention: q (B,T,H,D), k/v (B,S,H,D).
 
@@ -225,10 +230,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     """
     if jax.default_backend() != "tpu":
         return _dense_reference(q, k, v)
-    # Measured on v5e (head dim 32): XLA dense wins until the (T, S)
-    # score materialization starts to dominate HBM traffic (~4k frames);
-    # the online-softmax kernel takes over beyond — and is the only path
-    # that works at all once dense scores stop fitting (≥ ~10k frames).
-    if q.shape[1] <= 4096 and k.shape[1] <= 4096:
+    # Measured on v5e (head dim 32, blocks 512×1024): the kernel beats
+    # XLA dense from ~2k frames (2.0 vs 2.7 ms at 3600; 4.2 vs 7.5 ms at
+    # 7200) and is the only viable path once dense scores stop fitting
+    # (≥ ~10k frames). Below that, dense's fusions win.
+    if q.shape[1] <= 2048 and k.shape[1] <= 2048:
         return _dense_reference(q, k, v)
     return _flash_tpu_blocked(q, k, v)

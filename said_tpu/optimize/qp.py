@@ -25,7 +25,6 @@ whole solver jit-compiles; all T frames solve jointly on device.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import List, Optional
 

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from said_tpu.diffusion.schedule import DiffusionSchedule
 from said_tpu.models.said import SAID

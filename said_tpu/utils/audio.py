@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import List
-
 import numpy as np
 
 
@@ -114,8 +112,6 @@ def onset_strength(
     n_mels: int = 128,
 ):
     """Spectral-flux onset envelope over a mel spectrogram."""
-    from scipy.signal import stft
-
     x = np.asarray(waveform, dtype=np.float32)
     # Center-padded STFT with a Hann window (librosa conventions).
     pad = n_fft // 2
