@@ -57,6 +57,11 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
         "--attn_impl", type=str, default="auto", choices=["auto", "dense", "flash"]
     )
     parser.add_argument(
+        "--profile_dir", type=str, default="",
+        help="capture a jax profiler trace of the sampling run "
+             "(view with tensorboard or xprof)",
+    )
+    parser.add_argument(
         "--length_bucket", type=int, default=0,
         help="pad to multiples of this many frames so one compiled program "
              "serves all clip lengths (0 = exact-shape compile per length)",
@@ -94,6 +99,8 @@ def main(argv=None) -> None:
     if args.mask_path:
         mask = load_blendshape_coeffs(args.mask_path)[None]
 
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     output = pipeline.inference(
         waveform_processed=waveform_processed,
         init_samples=init_samples,
@@ -108,6 +115,10 @@ def main(argv=None) -> None:
         save_intermediate=args.save_intermediate,
         length_bucket=args.length_bucket,
     )
+
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profiler trace → {args.profile_dir}")
 
     result = output.result[0, :window_len]
     save_blendshape_coeffs(result, BLENDSHAPE_CLASSES, args.output_path)

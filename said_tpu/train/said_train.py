@@ -209,12 +209,27 @@ def make_train_step(model: SAID, schedule: DiffusionSchedule, config: TrainConfi
             if state.ema_params is not None
             else None
         )
+        # NaN guard: a non-finite loss (bad batch, fp blow-up) skips the
+        # update instead of poisoning params/optimizer/EMA. The reference
+        # has no such protection; metrics report the event via nan_skipped.
+        ok = jnp.isfinite(loss)
+
+        def keep_if_ok(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old
+            )
+
         new_state = state.replace(
             step=state.step + 1,
-            params=new_params,
-            opt_state=new_opt_state,
-            ema_params=new_ema,
+            params=keep_if_ok(new_params, state.params),
+            opt_state=keep_if_ok(new_opt_state, state.opt_state),
+            ema_params=(
+                keep_if_ok(new_ema, state.ema_params)
+                if new_ema is not None
+                else None
+            ),
         )
+        metrics["nan_skipped"] = (~ok).astype(jnp.float32)
         return new_state, metrics
 
     return train_step
