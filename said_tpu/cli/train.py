@@ -286,17 +286,18 @@ def main(argv=None) -> None:
             print(f"saved train state → {path}")
             if args.export_pth:
                 from said_tpu.core.checkpoint import (
-                    export_unet1d_to_torch,
+                    export_said_to_torch,
                     save_torch_state_dict,
                 )
 
+                # EMA weights, as the reference saves (train.py:648-659);
+                # the .pth loads directly into the reference's SAID_UNet1D.
                 export_params = (
                     state.ema_params if state.ema_params is not None else state.params
                 )
-                sd = export_unet1d_to_torch(
-                    jax.tree_util.tree_map(np.asarray, export_params["denoiser"])
+                sd = export_said_to_torch(
+                    jax.tree_util.tree_map(np.asarray, export_params)
                 )
-                sd["null_cond_emb"] = np.asarray(export_params["null_cond_emb"])
                 save_torch_state_dict(sd, os.path.join(args.output_dir, f"{epoch}.pth"))
 
     writer.close()

@@ -128,3 +128,72 @@ def save_torch_state_dict(state_dict: Dict[str, np.ndarray], path: str) -> None:
     import torch
 
     torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in state_dict.items()}, path)
+
+
+def export_wav2vec2_to_torch(params: Dict, prefix: str = "audio_encoder.") -> Dict:
+    """Flax Wav2Vec2Encoder params → HF torch state_dict (numpy values).
+
+    Inverse of ``said_tpu.utils.torch_import.convert_wav2vec2``. The
+    positional conv's weight norm is re-parameterized (g = per-position
+    norm, v = weight), which reproduces the effective weight exactly.
+    """
+    out: Dict[str, np.ndarray] = {}
+    p = prefix
+
+    fe = params["feature_extractor"]
+    i = 0
+    while f"conv_{i}" in fe:
+        layer = fe[f"conv_{i}"]
+        _conv_to_torch(layer["conv"], f"{p}feature_extractor.conv_layers.{i}.conv", out)
+        if "norm_scale" in layer:
+            out[f"{p}feature_extractor.conv_layers.{i}.layer_norm.weight"] = np.asarray(
+                layer["norm_scale"]
+            )
+            out[f"{p}feature_extractor.conv_layers.{i}.layer_norm.bias"] = np.asarray(
+                layer["norm_bias"]
+            )
+        i += 1
+
+    _norm_to_torch(params["fp_layer_norm"], f"{p}feature_projection.layer_norm", out)
+    _dense_to_torch(params["fp_projection"], f"{p}feature_projection.projection", out)
+    if "masked_spec_embed" in params:
+        out[f"{p}masked_spec_embed"] = np.asarray(params["masked_spec_embed"])
+
+    # positional conv: effective (W, I/groups, O) → torch (O, I/groups, W),
+    # split into weight-norm (g, v) with v = weight (norm over dims 0,1).
+    w = np.asarray(params["pos_conv"]["conv"]["kernel"]).transpose(2, 1, 0)
+    g = np.sqrt((w.astype(np.float64) ** 2).sum(axis=(0, 1), keepdims=True)).astype(
+        w.dtype
+    )
+    out[f"{p}encoder.pos_conv_embed.conv.weight_g"] = g
+    out[f"{p}encoder.pos_conv_embed.conv.weight_v"] = w
+    out[f"{p}encoder.pos_conv_embed.conv.bias"] = np.asarray(
+        params["pos_conv"]["conv"]["bias"]
+    )
+    _norm_to_torch(params["encoder_layer_norm"], f"{p}encoder.layer_norm", out)
+
+    li = 0
+    while f"layer_{li}" in params:
+        lp = params[f"layer_{li}"]
+        tp = f"{p}encoder.layers.{li}"
+        for ours, theirs in [
+            ("q_proj", "attention.q_proj"), ("k_proj", "attention.k_proj"),
+            ("v_proj", "attention.v_proj"), ("out_proj", "attention.out_proj"),
+            ("ff_inter", "feed_forward.intermediate_dense"),
+            ("ff_out", "feed_forward.output_dense"),
+        ]:
+            _dense_to_torch(lp[ours], f"{tp}.{theirs}", out)
+        _norm_to_torch(lp["layer_norm"], f"{tp}.layer_norm", out)
+        _norm_to_torch(lp["final_layer_norm"], f"{tp}.final_layer_norm", out)
+        li += 1
+    return out
+
+
+def export_said_to_torch(params: Dict) -> Dict:
+    """Full SAID flax params → a reference-loadable torch state_dict."""
+    out = export_unet1d_to_torch(params["denoiser"], prefix="denoiser.model.")
+    out.update(export_wav2vec2_to_torch(params["audio_encoder"]))
+    out["null_cond_emb"] = np.asarray(params["null_cond_emb"])
+    if "audio_proj_layer" in params:
+        _dense_to_torch(params["audio_proj_layer"], "audio_proj_layer", out)
+    return out

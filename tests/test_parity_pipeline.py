@@ -1,0 +1,161 @@
+"""Full-pipeline parity: our jitted sampler+UNet+wav2vec2 vs the
+reference's own torch modules driven through the reference's inference
+algorithm (said/model/diffusion.py:308-472), with identical weights and
+identical injected noise.
+
+The reference's scheduler dependency isn't installed here, so its DDIM
+step is re-executed in numpy from the published equations — the same
+math our schedule module golden-tests against — while the network
+forwards are the reference's unmodified torch code. This catches glue
+bugs (CFG concat order and scale, window-size computation, interpolation
+placement, banded-mask polarity) end to end.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from said_tpu.cli._common import init_said_params
+from said_tpu.models.said import SAID, SAIDPipeline, process_audio
+from said_tpu.models.wav2vec2 import Wav2Vec2Config
+from said_tpu.utils.torch_import import convert_unet1d, convert_wav2vec2
+
+SMALL = dict(
+    conv_dim=(16, 16),
+    conv_stride=(5, 2),
+    conv_kernel=(10, 3),
+    conv_bias=False,
+    hidden_size=24,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    intermediate_size=48,
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+)
+
+
+def _np_schedule(T=1000):
+    t = np.arange(T, dtype=np.float64)
+    ab = lambda x: np.cos((x + 0.008) / 1.008 * math.pi / 2) ** 2
+    betas = np.minimum(1 - ab((t + 1) / T) / ab(t / T), 0.999).astype(np.float32)
+    return np.cumprod(1 - betas).astype(np.float64)
+
+
+def _reference_inference_torch(
+    torch_unet, torch_w2v2, null_emb, waveform, latents0, num_steps, guidance_scale
+):
+    """The reference SAID.inference flow on torch modules + numpy DDIM."""
+    acp = _np_schedule()
+    sr, fps = 16000, 60
+    window = int(waveform.shape[1] / sr * fps)
+
+    with torch.no_grad():
+        audio_emb = torch_w2v2(
+            torch.from_numpy(waveform), num_frames=window
+        ).last_hidden_state
+        uncond = torch.from_numpy(null_emb).repeat(audio_emb.shape[0], window, 1)
+        context = torch.cat([uncond, audio_emb])  # [uncond; cond]
+
+        # leading-spaced timesteps
+        ratio = 1000 // num_steps
+        ts = (np.arange(num_steps) * ratio).round()[::-1].astype(np.int64)
+
+        lat = torch.from_numpy(latents0).clone()
+        for t_int in ts:
+            model_in = torch.cat([lat] * 2)
+            t = torch.tensor([t_int] * model_in.shape[0], dtype=torch.long)
+            pred = torch_unet(model_in, t, context)
+            pred_uncond, pred_cond = pred.chunk(2)
+            pred = pred_cond + guidance_scale * (pred_cond - pred_uncond)
+
+            # DDIM step, eta 0, clip_sample=True, set_alpha_to_one
+            p = pred.numpy().astype(np.float64)
+            x = lat.numpy().astype(np.float64)
+            a_t = acp[t_int]
+            prev = t_int - ratio
+            a_prev = acp[prev] if prev >= 0 else 1.0
+            x0 = (x - math.sqrt(1 - a_t) * p) / math.sqrt(a_t)
+            x0 = np.clip(x0, -1, 1)
+            x = math.sqrt(a_prev) * x0 + math.sqrt(1 - a_prev) * p
+            lat = torch.from_numpy(x.astype(np.float32))
+
+        return np.clip(lat.numpy(), 0, 1), window
+
+
+@pytest.mark.parametrize("length_bucket", [0, 32])
+def test_full_inference_parity(reference_on_path, length_bucket):
+    from said.model.unet_1d_condition import UNet1DConditionModel as TorchUNet
+    from said.model.wav2vec2 import ModifiedWav2Vec2Model
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.Wav2Vec2Config(
+        **SMALL,
+        feat_extract_norm="group",
+        do_stable_layer_norm=False,
+        feat_extract_activation="gelu",
+        hidden_act="gelu",
+        apply_spec_augment=False,
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+    )
+    torch_w2v2 = ModifiedWav2Vec2Model(hf_cfg).eval()
+    torch_unet = TorchUNet(32, 32, SMALL["hidden_size"]).eval()
+    null_emb = np.random.default_rng(1).standard_normal(
+        (1, 1, SMALL["hidden_size"])
+    ).astype(np.float32)
+
+    # our model with the torch weights
+    cfg = Wav2Vec2Config(
+        conv_dim=SMALL["conv_dim"], conv_stride=SMALL["conv_stride"],
+        conv_kernel=SMALL["conv_kernel"], conv_bias=SMALL["conv_bias"],
+        hidden_size=SMALL["hidden_size"], num_hidden_layers=SMALL["num_hidden_layers"],
+        num_attention_heads=SMALL["num_attention_heads"],
+        intermediate_size=SMALL["intermediate_size"],
+        num_conv_pos_embeddings=SMALL["num_conv_pos_embeddings"],
+        num_conv_pos_embedding_groups=SMALL["num_conv_pos_embedding_groups"],
+        output_hidden_size=SMALL["hidden_size"],
+    )
+    model = SAID(audio_config=cfg)
+    params = init_said_params(model, seed=0)
+    params["audio_encoder"] = convert_wav2vec2(
+        {k: v.numpy() for k, v in torch_w2v2.state_dict().items()}
+    )
+    params["denoiser"] = convert_unet1d(
+        {k: v.numpy() for k, v in torch_unet.state_dict().items()}, prefix="model."
+    )
+    params["null_cond_emb"] = jnp.asarray(null_emb)
+
+    rng = np.random.default_rng(2)
+    secs = 0.5
+    wave = process_audio(rng.standard_normal((1, int(16000 * secs))).astype(np.float32))
+    window = int(wave.shape[1] / 16000 * 60)
+    latents0 = rng.standard_normal((1, window, 32)).astype(np.float32)
+    num_steps, guidance = 10, 2.0
+
+    want, window_ref = _reference_inference_torch(
+        torch_unet, torch_w2v2, null_emb, wave, latents0, num_steps, guidance
+    )
+
+    pipeline = SAIDPipeline(model, params)
+    out = pipeline.inference(
+        waveform_processed=wave,
+        num_inference_steps=num_steps,
+        guidance_scale=guidance,
+        latents=latents0,
+        rng=jax.random.PRNGKey(0),
+        length_bucket=length_bucket,
+    )
+    got = out.result[:, :window_ref]
+
+    mae = float(np.abs(got - want[:, :window_ref]).mean())
+    assert mae < 1e-4, f"coefficient MAE {mae} (north-star threshold 1e-3)"
