@@ -40,7 +40,13 @@ from said_tpu.data.blendvoca import (
 from said_tpu.data.loader import DataLoader
 from said_tpu.diffusion.schedule import DiffusionSchedule
 from said_tpu.models.said import process_audio
-from said_tpu.parallel.mesh import MeshConfig, batch_sharding, make_mesh, shard_params
+from said_tpu.parallel.mesh import (
+    MeshConfig,
+    batch_sharding,
+    make_mesh,
+    maybe_init_distributed,
+    shard_params,
+)
 from said_tpu.train.said_train import (
     TrainConfig,
     TrainState,
@@ -108,6 +114,8 @@ def main(argv=None) -> None:
     )
     add_arguments(parser)
     args = parser.parse_args(argv)
+
+    maybe_init_distributed()  # multi-host: no-op unless a coordinator is set
 
     model = build_said_model(
         prediction_type=args.prediction_type,
