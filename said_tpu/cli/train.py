@@ -195,7 +195,24 @@ def main(argv=None) -> None:
     if args.resume:
         from said_tpu.core.checkpoint import restore_train_state
 
-        state = restore_train_state(args.resume, state)
+        # Restore to host values, then re-place every leaf on the mesh:
+        # mesh-sharded leaves keep their sharding, everything else (e.g.
+        # the step counter, which orbax would otherwise pin to one
+        # device and clash with the sharded params) is mesh-replicated.
+        from jax.sharding import NamedSharding
+
+        from said_tpu.parallel.mesh import replicated
+
+        host_target = jax.tree_util.tree_map(np.asarray, state)
+        restored = restore_train_state(args.resume, host_target)
+
+        def place(r, f):
+            sh = getattr(f, "sharding", None)
+            if not isinstance(sh, NamedSharding):
+                sh = replicated(mesh)
+            return jax.device_put(np.asarray(r), sh)
+
+        state = jax.tree_util.tree_map(place, restored, state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
     data_shard = batch_sharding(mesh)

@@ -103,3 +103,35 @@ def test_vae_train_cli_two_epochs(toy_train_tree, tmp_path):
     assert np.isfinite(lines[0]["Train/loss"])
     assert "Validation/loss" in lines[1]
     assert (pathlib.Path(out_dir) / "ckpt" / "2").exists()
+
+
+def test_train_resume_continues(toy_train_tree, tmp_path, monkeypatch):
+    """Crash-resume: restart from the orbax checkpoint and keep training
+    (the reference cannot resume at all — SURVEY §5.3/5.4)."""
+    import said_tpu.cli.train as train_cli
+
+    monkeypatch.setattr(train_cli, "build_said_model", _tiny_model)
+    audio_dir, coeffs_dir = toy_train_tree
+    out_dir = str(tmp_path / "out")
+    common = [
+        "--audio_dir", audio_dir,
+        "--coeffs_dir", coeffs_dir,
+        "--output_dir", out_dir,
+        "--batch_size", "2",
+        "--num_warmup_epochs", "1",
+        "--val_period", "1000",
+        "--save_period", "1",
+        "--export_pth", "",
+    ]
+    train_cli.main(common + ["--epochs", "1"])
+    ckpt = pathlib.Path(out_dir) / "ckpt" / "1"
+    assert ckpt.exists()
+
+    # "crash" and resume into a fresh process-equivalent run
+    train_cli.main(common + ["--epochs", "1", "--resume", str(ckpt)])
+    lines = [
+        json.loads(l)
+        for l in (pathlib.Path(out_dir) / "SAiD" / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert len(lines) == 2  # one epoch per run, same log file
+    assert all(np.isfinite(l["Train/loss"]) for l in lines)
