@@ -54,6 +54,12 @@ def main(argv=None) -> None:
         help="frame bucketing so a handful of compiled programs serve the "
              "whole sweep (0 = exact-shape compile per clip length)",
     )
+    parser.add_argument(
+        "--mixed_batching", action="store_true",
+        help="fill batches with (clip, repeat) pairs across DIFFERENT "
+             "clips (length-sorted to minimize padding) instead of "
+             "repeating one clip per batch; requires --length_bucket",
+    )
     args = parser.parse_args(argv)
 
     model = build_said_model(
@@ -71,6 +77,12 @@ def main(argv=None) -> None:
     dataset = BlendVOCATestDataset(audio_dir=args.audio_dir, preload=False)
 
     rng = jax.random.PRNGKey(args.seed)
+
+    if args.mixed_batching:
+        if args.length_bucket <= 0:
+            raise SystemExit("--mixed_batching requires --length_bucket > 0")
+        _run_mixed(args, pipeline, dataset, rng)
+        return
 
     for ddx in range(len(dataset)):
         item = dataset[ddx]
@@ -111,6 +123,62 @@ def main(argv=None) -> None:
                 )
                 rdx += 1
         print(f"[{ddx + 1}/{len(dataset)}] {path.person_id}/{base}: {rdx} samples")
+
+
+def _run_mixed(args, pipeline, dataset, rng):
+    """Mixed-length batching: one task per (clip, repeat), length-sorted.
+
+    Different clips share batches — a serving mode the reference cannot
+    express (its loop repeats a single clip per batch); per-row masked
+    numerics keep every row identical to its own unpadded run.
+    """
+    tasks = []  # (window_len, t_a, processed_wave, out_path)
+    for ddx in range(len(dataset)):
+        item = dataset[ddx]
+        path = dataset.data_paths[ddx]
+        base = os.path.splitext(os.path.basename(path.audio))[0]
+        out_dir = os.path.join(args.output_dir, path.person_id)
+        os.makedirs(out_dir, exist_ok=True)
+        fit = fit_audio_unet(
+            np.asarray(item.waveform), pipeline.sampling_rate, args.fps,
+            args.divisor_unet,
+        )
+        processed = process_audio(fit.waveform)[0]
+        for rdx in range(args.num_repeats):
+            tasks.append(
+                (fit.window_size, len(processed), processed,
+                 os.path.join(out_dir, f"{base}-{rdx}.csv"))
+            )
+
+    tasks.sort(key=lambda t: t[1])  # minimize padding within a batch
+    done = 0
+    for lo in range(0, len(tasks), args.batch_size):
+        chunk = tasks[lo : lo + args.batch_size]
+        t_max = max(t[1] for t in chunk)
+        wave = np.zeros((len(chunk), t_max), np.float32)
+        lens = np.zeros(len(chunk), np.int64)
+        for i, (_, t_a, w, _) in enumerate(chunk):
+            wave[i, :t_a] = w
+            lens[i] = t_a
+        rng, step_rng = jax.random.split(rng)
+        output = pipeline.inference(
+            waveform_processed=wave,
+            num_inference_steps=args.num_steps,
+            strength=args.strength,
+            guidance_scale=args.guidance_scale,
+            guidance_rescale=args.guidance_rescale,
+            eta=args.eta,
+            fps=args.fps,
+            rng=step_rng,
+            length_bucket=args.length_bucket,
+            waveform_lengths=lens,
+        )
+        for i, (window_len, _, _, out_path) in enumerate(chunk):
+            save_blendshape_coeffs(
+                output.result[i, :window_len], BLENDSHAPE_CLASSES, out_path
+            )
+        done += len(chunk)
+        print(f"mixed batches: {done}/{len(tasks)} samples")
 
 
 if __name__ == "__main__":

@@ -224,13 +224,18 @@ class SAIDPipeline:
             # per head); setup()-bound submodules aren't readable here.
             mc = UNet1DConditionModel.model_channels
             heads = mc // UNet1DConditionModel.num_head_channels
+            # Per-row lengths (mixed-length batches) must be tiled for the
+            # CFG-doubled batch.
+            denoise_len = window_real
+            if dynamic and config.do_cfg and window_real.ndim == 1:
+                denoise_len = jnp.concatenate([window_real, window_real])
             kv_caches = build_kv_caches(
                 params["denoiser"],
                 full_context,
                 window_size,
                 num_heads=heads,
                 dtype=model.dtype,
-                seq_len_real=window_real if dynamic else None,
+                seq_len_real=denoise_len if dynamic else None,
             )
             emb_table = time_embed_table(
                 params["denoiser"], np.arange(model.diffusion_steps), mc
@@ -246,7 +251,7 @@ class SAIDPipeline:
                     deterministic=True,
                     kv_caches=kv_caches,
                     emb=emb_table[t],
-                    seq_len_real=window_real if dynamic else None,
+                    seq_len_real=denoise_len if dynamic else None,
                 )
 
             result, interms = sample(
@@ -284,6 +289,7 @@ class SAIDPipeline:
         save_intermediate: bool = False,
         length_bucket: int = 0,
         scan_unroll: int = 1,
+        waveform_lengths: Optional[np.ndarray] = None,
     ) -> SAIDInferenceOutput:
         """Full inference (reference ``SAID.inference`` semantics).
 
@@ -296,6 +302,12 @@ class SAIDPipeline:
         bucket (real frames are numerically identical to an unpadded run;
         the padded tail of the returned array is garbage — slice to the
         real window size, as the CLIs do).
+
+        ``waveform_lengths`` (with ``length_bucket``) enables MIXED-LENGTH
+        batches: rows of ``waveform_processed`` are zero-padded clips of
+        different real sample counts; each row's real frames equal its
+        own unpadded run (a serving capability the reference lacks — it
+        can only batch copies of one clip).
         """
         waveform_processed = jnp.asarray(waveform_processed)
         if waveform_processed.ndim == 1:
@@ -306,9 +318,19 @@ class SAIDPipeline:
 
         dynamic = length_bucket > 0
         window_real, t_a_real = window_size, t_a
+        if waveform_lengths is not None:
+            if not dynamic:
+                raise ValueError("waveform_lengths requires length_bucket > 0")
+            lens = np.asarray(waveform_lengths, np.int64)
+            t_a_real = jnp.asarray(lens, jnp.int32)
+            window_vec = (lens / self.sampling_rate * fps).astype(np.int64)
+            window_real = jnp.asarray(window_vec, jnp.int32)
+            window_size = int(window_vec.max())
         if dynamic:
             window_pad = int(np.ceil(window_size / length_bucket) * length_bucket)
             t_a_pad = int(np.ceil(window_pad * self.sampling_rate / fps))
+            if t_a_pad < t_a:
+                t_a_pad = t_a  # caller's buffer already wider; keep it
             waveform_processed = jnp.pad(
                 waveform_processed, ((0, 0), (0, t_a_pad - t_a))
             )
@@ -366,7 +388,7 @@ class SAIDPipeline:
             mask_arg,
             jnp.asarray(t_a_real, jnp.int32),
             jnp.asarray(window_real, jnp.int32),
-        )
+        )  # length args may be scalars or (B,) vectors
         return SAIDInferenceOutput(
             result=np.asarray(result),
             intermediates=np.asarray(interms) if save_intermediate else None,

@@ -109,7 +109,8 @@ class ResBlock1D(nn.Module):
             # unpadded program's boundary padding would supply.
             if seq_mask is None:
                 return v
-            return v * seq_mask[None, :, None].astype(v.dtype)
+            m = seq_mask[None, :, None] if seq_mask.ndim == 1 else seq_mask[:, :, None]
+            return v * m.astype(v.dtype)
 
         h = GroupNorm32(name="in_norm")(x, seq_mask)
         h = jax.nn.silu(h)
@@ -224,7 +225,13 @@ class BasicTransformerBlock(nn.Module):
         if seq_mask is not None:
             # Bucketed mode: mask padded keys; dense path handles the mask
             # (the Pallas kernel is static-shape only).
-            self_mask = jnp.broadcast_to(seq_mask[None, :], (x.shape[1], x.shape[1]))
+            t_pad = x.shape[1]
+            if seq_mask.ndim == 1:
+                self_mask = jnp.broadcast_to(seq_mask[None, :], (t_pad, t_pad))
+            else:  # per-row key masks
+                self_mask = jnp.broadcast_to(
+                    seq_mask[:, None, :], (seq_mask.shape[0], t_pad, t_pad)
+                )
             self_impl = "dense"
         x = x + CrossAttention(
             self.heads, self.dim_head, self.dropout, self.dtype, name="attn1"
@@ -377,7 +384,11 @@ class UNet1DConditionModel(nn.Module):
         b = sample.shape[0]
         seq_mask = None
         if seq_len_real is not None:
-            seq_mask = jnp.arange(sample.shape[1]) < jnp.asarray(seq_len_real, jnp.int32)
+            slr = jnp.asarray(seq_len_real, jnp.int32)
+            if slr.ndim == 1:  # per-row lengths (mixed-length batches)
+                seq_mask = jnp.arange(sample.shape[1])[None, :] < slr[:, None]
+            else:
+                seq_mask = jnp.arange(sample.shape[1]) < slr
 
         mc = self.model_channels
         heads = mc // self.num_head_channels
@@ -409,7 +420,8 @@ class UNet1DConditionModel(nn.Module):
 
         x = sample.astype(self.dtype)
         if seq_mask is not None:
-            x = x * seq_mask[None, :, None].astype(x.dtype)
+            m = seq_mask[None, :, None] if seq_mask.ndim == 1 else seq_mask[:, :, None]
+            x = x * m.astype(x.dtype)
         if context is not None:
             context = context.astype(self.dtype)
 
@@ -463,7 +475,8 @@ class UNet1DConditionModel(nn.Module):
         o = GroupNorm32(name="out_norm")(o, seq_mask)
         o = jax.nn.silu(o)
         if seq_mask is not None:
-            o = o * seq_mask[None, :, None].astype(o.dtype)
+            m = seq_mask[None, :, None] if seq_mask.ndim == 1 else seq_mask[:, :, None]
+            o = o * m.astype(o.dtype)
         o = nn.Conv(
             self.out_channels,
             (3,),
@@ -508,6 +521,16 @@ def build_kv_caches(
         idx = jnp.asarray(idx)
         valid = jnp.asarray(valid)
 
+    def gather(x):
+        # (B, S, H, D) → (B, T, W, H, D); idx is (T, W) or (B, T, W)
+        if idx.ndim == 3:
+            b2, t2, w2 = idx.shape
+            flat = idx.reshape(b2, t2 * w2)
+            return jnp.take_along_axis(
+                x, flat[:, :, None, None], axis=1
+            ).reshape(b2, t2, w2, x.shape[2], x.shape[3])
+        return x[:, idx]
+
     caches = {}
     for name in ("input_attn", "middle_attn", "output_attn0", "output_attn1"):
         block_caches = []
@@ -521,8 +544,8 @@ def build_kv_caches(
             b = k.shape[0]
             inner = k.shape[-1]
             dh = inner // num_heads
-            k_win = k.reshape(b, s, num_heads, dh)[:, idx]  # (B, T, W, H, D)
-            v_win = v.reshape(b, s, num_heads, dh)[:, idx]
+            k_win = gather(k.reshape(b, s, num_heads, dh))  # (B, T, W, H, D)
+            v_win = gather(v.reshape(b, s, num_heads, dh))
             block_caches.append((k_win, v_win, valid))
             d += 1
         caches[name] = block_caches

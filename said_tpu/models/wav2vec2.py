@@ -96,7 +96,8 @@ class _ConvLayer(nn.Module):
         if seq_mask is not None:
             # Keep padded positions exactly zero so downstream VALID convs
             # of in-range outputs read only real samples.
-            x = x * seq_mask[None, :, None].astype(x.dtype)
+            m = seq_mask[None, :, None] if seq_mask.ndim == 1 else seq_mask[:, :, None]
+            x = x * m.astype(x.dtype)
         return x
 
 
@@ -133,7 +134,10 @@ class FeatureExtractor(nn.Module):
             seq_mask = None
             if real_len is not None:
                 real_len = (real_len - k) // s + 1
-                seq_mask = jnp.arange(out_len) < real_len
+                if real_len.ndim == 1:  # per-row lengths
+                    seq_mask = jnp.arange(out_len)[None, :] < real_len[:, None]
+                else:
+                    seq_mask = jnp.arange(out_len) < real_len
             x = _ConvLayer(
                 out_dim=dim,
                 kernel=k,
@@ -174,7 +178,12 @@ class EncoderLayer(nn.Module):
         scores = jnp.einsum("bthd,bshd->bhts", qh, kh)
         if key_mask is not None:
             neg = jnp.asarray(-np.finfo(np.float32).max, scores.dtype)
-            scores = jnp.where(key_mask[None, None, None, :], scores, neg)
+            km = (
+                key_mask[:, None, None, :]
+                if key_mask.ndim == 2
+                else key_mask[None, None, None, :]
+            )
+            scores = jnp.where(km, scores, neg)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhts,bshd->bthd", attn, vh).reshape(b, t, h)
         out = nn.Dense(h, dtype=self.dtype, name="out_proj")(out)
@@ -279,10 +288,15 @@ class Wav2Vec2Encoder(nn.Module):
                 if num_frames is not None
                 else feat_real_len
             )
-            frame_mask = jnp.arange(h.shape[1]) < real_frames
+            if real_frames.ndim == 1:  # per-row lengths
+                frame_mask = jnp.arange(h.shape[1])[None, :] < real_frames[:, None]
+                m = frame_mask[:, :, None]
+            else:
+                frame_mask = jnp.arange(h.shape[1]) < real_frames
+                m = frame_mask[None, :, None]
             # Zero the pads so the SAME-padded positional conv sees exactly
             # the zero boundary the unpadded program would.
-            h = h * frame_mask[None, :, None].astype(h.dtype)
+            h = h * m.astype(h.dtype)
 
         # Encoder: positional conv + LN + layers
         h = h + PositionalConvEmbedding(cfg, self.dtype, name="pos_conv")(h)

@@ -45,7 +45,8 @@ def banded_attention_cached(
     of the scan (``said_tpu.models.unet1d.build_kv_caches``) and each step
     only projects Q and attends over the W in-band entries.
 
-    q (B, T, H*D); k_win/v_win (B, T, W, H, D); valid (T, W) bool.
+    q (B, T, H*D); k_win/v_win (B, T, W, H, D); valid (T, W) or
+    (B, T, W) bool (per-row bands for mixed-length batches).
     """
     b, t, inner = q.shape
     h = num_heads
@@ -53,7 +54,8 @@ def banded_attention_cached(
     qh = q.reshape(b, t, h, d)
     scale = d**-0.5
     scores = jnp.einsum("bthd,btwhd->bhtw", qh, k_win) * scale
-    scores = jnp.where(valid[None, None, :, :], scores, -_NEG_INF)
+    vmask = valid[:, None, :, :] if valid.ndim == 3 else valid[None, None, :, :]
+    scores = jnp.where(vmask, scores, -_NEG_INF)
     attn = _softmax_f32(scores, qh.dtype)
     out = jnp.einsum("bhtw,btwhd->bthd", attn, v_win)
     return out.reshape(b, t, inner)
@@ -104,13 +106,25 @@ def multi_head_attention(
         if band is None:
             raise ValueError("banded attention requires band=(idx, valid)")
         idx, valid = band
-        idx = jnp.asarray(idx)  # (T, W) int32
-        valid = jnp.asarray(valid)  # (T, W) bool
+        idx = jnp.asarray(idx)  # (T, W) or (B, T, W) int32
+        valid = jnp.asarray(valid)  # matching bool
         # Gather in-band keys/values: (B, T, W, H, D)
-        k_win = kh[:, idx]
-        v_win = vh[:, idx]
+        if idx.ndim == 3:  # per-row bands (mixed-length batches)
+            w = idx.shape[-1]
+            flat = idx.reshape(b, t * w)
+            k_win = jnp.take_along_axis(
+                kh, flat[:, :, None, None], axis=1
+            ).reshape(b, t, w, h, d)
+            v_win = jnp.take_along_axis(
+                vh, flat[:, :, None, None], axis=1
+            ).reshape(b, t, w, h, d)
+            vmask = valid[:, None, :, :]
+        else:
+            k_win = kh[:, idx]
+            v_win = vh[:, idx]
+            vmask = valid[None, None, :, :]
         scores = jnp.einsum("bthd,btwhd->bhtw", qh, k_win) * scale
-        scores = jnp.where(valid[None, None, :, :], scores, -_NEG_INF)
+        scores = jnp.where(vmask, scores, -_NEG_INF)
         attn = _softmax_f32(scores, qh.dtype)
         out = jnp.einsum("bhtw,btwhd->bthd", attn, v_win)
         return out.reshape(b, t, inner)

@@ -73,32 +73,42 @@ def alignment_band_dynamic(x_len_pad: int, c_len_pad: int, x_real, c_real, pad: 
     """Traced-length alignment band for length-bucketed inference.
 
     Like ``band_gather_indices`` but for a padded buffer of static size
-    (x_len_pad, c_len_pad) whose REAL lengths are runtime scalars; the
+    (x_len_pad, c_len_pad) whose REAL lengths are runtime values; the
     band is computed on device with the same round-half-even semantics
     (jnp.round == np.round == Python round).
 
-    Returns (idx (x_len_pad, W), valid (x_len_pad, W)) with the static
-    width W = ceil(c_len_pad / x_len_pad) + 2·pad + 1 ≥ any real width.
-    Rows i ≥ x_real are marked fully invalid except entry 0 (softmax
-    needs ≥1 unmasked key; those rows are garbage and masked out
-    downstream anyway).
+    ``x_real``/``c_real`` may be scalars (one length for the whole batch)
+    or (B,) vectors (mixed-length batches). Returns
+    (idx (…, x_len_pad, W), valid (…, x_len_pad, W)) with a leading batch
+    axis in the vector case; W = ceil(c_len_pad / x_len_pad) + 2·pad + 1
+    ≥ any real width. Rows i ≥ x_real are marked fully invalid except
+    entry 0 (softmax needs ≥1 unmasked key; those rows are garbage and
+    masked out downstream anyway).
     """
     import jax.numpy as jnp
 
     width = int(np.ceil(c_len_pad / x_len_pad)) + 2 * pad + 1
     x_real = jnp.asarray(x_real, jnp.float32)
     c_real = jnp.asarray(c_real, jnp.float32)
+    batched = x_real.ndim == 1
+    if batched:
+        x_real = x_real[:, None]  # (B, 1)
+        c_real = c_real[:, None]
 
     r = c_real / x_real
     kh = r / 2.0 + pad
     i = jnp.arange(x_len_pad, dtype=jnp.float32)
+    if batched:
+        i = i[None, :]  # (1, T)
     c_mid = (i + 0.5) * r
     c_min = jnp.maximum(jnp.round(c_mid - kh), 0.0)
     c_max = jnp.minimum(jnp.round(c_mid + kh), c_real)
 
-    offs = jnp.arange(width, dtype=jnp.float32)[None, :]
-    raw = c_min[:, None] + offs
-    valid = (raw < c_max[:, None]) & (i[:, None] < x_real)
-    valid = valid.at[:, 0].set(valid[:, 0] | (i >= x_real))  # keep ≥1 key
+    offs = jnp.arange(width, dtype=jnp.float32)
+    raw = c_min[..., None] + offs  # (…, T, W)
+    valid = (raw < c_max[..., None]) & (i[..., None] < x_real[..., None])
+    # keep ≥1 unmasked key on fully-masked (padded) rows
+    row_dead = i >= x_real
+    valid = valid.at[..., 0].set(valid[..., 0] | row_dead)
     idx = jnp.clip(raw, 0, c_len_pad - 1).astype(jnp.int32)
     return idx, valid

@@ -52,7 +52,12 @@ def linear_interp_time_dynamic(x, out_len_pad: int, in_real, out_real):
     t_pad = x.shape[1]
     in_real = jnp.asarray(in_real, jnp.int32)
     out_real = jnp.asarray(out_real, jnp.int32)
+    batched = in_real.ndim == 1  # per-row lengths (mixed-length batches)
     j = jnp.arange(out_len_pad, dtype=jnp.int32)
+    if batched:
+        in_real = in_real[:, None]
+        out_real = out_real[:, None]
+        j = j[None, :]
     # Exact integer split of src = j*(in-1)/(out-1): float32 would lose
     # precision at large coordinates and break bucketed/unbucketed parity.
     denom = jnp.maximum(out_real - 1, 1)
@@ -61,7 +66,12 @@ def linear_interp_time_dynamic(x, out_len_pad: int, in_real, out_real):
     lo = jnp.clip(lo, 0, t_pad - 2)
     rem = num - lo * denom  # ≤ 2·denom, exact in int32 and float32
     frac = (rem.astype(jnp.float32) / denom.astype(jnp.float32)).astype(x.dtype)
-    frac = frac[None, :, None]
-    x_lo = jnp.take(x, lo, axis=1)
-    x_hi = jnp.take(x, lo + 1, axis=1)
+    if batched:
+        frac = frac[:, :, None]
+        x_lo = jnp.take_along_axis(x, lo[:, :, None], axis=1)
+        x_hi = jnp.take_along_axis(x, (lo + 1)[:, :, None], axis=1)
+    else:
+        frac = frac[None, :, None]
+        x_lo = jnp.take(x, lo, axis=1)
+        x_hi = jnp.take(x, lo + 1, axis=1)
     return x_lo * (1.0 - frac) + x_hi * frac

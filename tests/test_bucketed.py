@@ -114,3 +114,60 @@ def test_pipeline_bucketed_matches_exact():
     # Both lengths hit the same bucket → exactly ONE dynamic compile.
     dynamic_keys = [k for k in pipeline._jit_cache if k[-1] is True]
     assert len(dynamic_keys) == 1
+
+
+def test_mixed_length_batch_matches_individual_runs():
+    """Two clips of DIFFERENT lengths in one batch must each reproduce
+    their own exact-shape single-clip run (per-row masked numerics)."""
+    from said_tpu.cli._common import init_said_params
+
+    model = SAID(audio_config=SMALL_CFG)
+    params = init_said_params(model, seed=0)
+    pipeline = SAIDPipeline(model, params)
+
+    rng = np.random.default_rng(3)
+    frames = [18, 26]
+    t_as = [int(np.ceil(n * 16000 / 60)) for n in frames]
+    waves = [
+        process_audio(rng.standard_normal((1, t)).astype(np.float32))[0]
+        for t in t_as
+    ]
+    latents = [
+        rng.standard_normal((n, 32)).astype(np.float32) for n in frames
+    ]
+
+    # individual exact-shape runs
+    singles = []
+    for w, lat, n in zip(waves, latents, frames):
+        out = pipeline.inference(
+            waveform_processed=w[None],
+            num_inference_steps=3,
+            guidance_scale=2.0,
+            rng=jax.random.PRNGKey(5),
+            latents=lat[None],
+        )
+        singles.append(out.result[0, :n])
+
+    # one mixed batch: zero-pad rows to the widest clip
+    t_max = max(t_as)
+    n_max = max(frames)
+    wave_batch = np.zeros((2, t_max), np.float32)
+    lat_batch = np.zeros((2, n_max, 32), np.float32)
+    for i, (w, lat) in enumerate(zip(waves, latents)):
+        wave_batch[i, : len(w)] = w
+        lat_batch[i, : frames[i]] = lat
+
+    out = pipeline.inference(
+        waveform_processed=wave_batch,
+        num_inference_steps=3,
+        guidance_scale=2.0,
+        rng=jax.random.PRNGKey(5),
+        latents=lat_batch,
+        length_bucket=32,
+        waveform_lengths=np.asarray(t_as),
+    )
+    for i, n in enumerate(frames):
+        np.testing.assert_allclose(
+            out.result[i, :n], singles[i], atol=5e-5, rtol=1e-3,
+            err_msg=f"row {i}",
+        )
