@@ -9,11 +9,11 @@ TPU-first differences (documented, not silent):
 - The train step is ONE jitted program; batches are sharded over the
   mesh's 'data' axis (``--mesh_data`` devices), XLA inserts the
   gradient all-reduce.
-- Random window sizes are bucketed to multiples of ``--window_bucket``
-  (default 8) so a handful of compiled programs serve every batch
-  (the reference's fully-random sizes would trigger a recompile per
-  step under XLA). Set ``--window_bucket 1`` to match the reference's
-  distribution exactly.
+- Random window sizes are padded up to multiples of ``--window_bucket``
+  (default 8) with masked norms/attention/losses, so a handful of
+  compiled programs serve the reference's fully-random window
+  distribution EXACTLY (the padding is numerically invisible; the
+  reference's sizes would otherwise trigger a recompile per step).
 - Checkpoints are full train states (params/opt/EMA/step, orbax) AND a
   reference-compatible ``{epoch}.pth`` can be exported with
   ``--export_pth`` (EMA weights, like the reference saves).
@@ -101,11 +101,10 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
     )
 
 
-def _bucket(window_size: int, bucket: int, lo: int, hi: int) -> int:
+def _bucket_up(window_size: int, bucket: int) -> int:
     if bucket <= 1:
         return window_size
-    ws = int(np.ceil(window_size / bucket) * bucket)
-    return max(lo, min(ws, hi))
+    return int(np.ceil(window_size / bucket) * bucket)
 
 
 def main(argv=None) -> None:
@@ -226,27 +225,42 @@ def main(argv=None) -> None:
     os.makedirs(args.output_dir, exist_ok=True)
 
     def prepare_batch(batch, bucket=True):
-        """Collated numpy batch → device arrays (bucketed window size)."""
+        """Collated numpy batch → device arrays.
+
+        Windows are PADDED up to the next --window_bucket multiple and the
+        real length is passed through; masked norms/attention/losses make
+        the result numerically identical to the unpadded batch, so one
+        compiled program per bucket serves the reference's fully-random
+        window-size distribution without changing it.
+        """
         coeffs = batch.blendshape_coeffs
-        if bucket and args.window_bucket > 1:
-            lo = args.window_size_min
-            ws = coeffs.shape[1]
-            target = _bucket(ws, args.window_bucket, lo, ws)
-            if target < ws:
-                coeffs = coeffs[:, :target]
-            ws = coeffs.shape[1]
-            wave_len = (16000 * ws) // 60
-            waves = [w[:wave_len] for w in batch.waveform]
+        ws_real = coeffs.shape[1]
+        wave_real = len(batch.waveform[0])
+        dynamic = bucket and args.window_bucket > 1
+        if dynamic:
+            target = _bucket_up(ws_real, args.window_bucket)
+            wave_target = int(np.ceil(target * 16000 / 60))
+            coeffs = np.pad(coeffs, ((0, 0), (0, target - ws_real), (0, 0)))
+            waves = [
+                np.pad(w, (0, wave_target - wave_real)) for w in batch.waveform
+            ]
         else:
             waves = batch.waveform
-        wave_np = process_audio(np.stack(waves))
+        # normalize over the REAL samples only, then zero-pad stays zero
+        wave_np = process_audio(np.stack([w[:wave_real] for w in batch.waveform]))
+        if dynamic:
+            wave_np = np.pad(wave_np, ((0, 0), (0, wave_target - wave_real)))
         mask_time = None
         if bucket and args.spec_augment:
             from said_tpu.models.wav2vec2 import compute_time_mask_indices
 
             mask_time = compute_time_mask_indices(
-                (wave_np.shape[0], coeffs.shape[1]), rng=spec_rng
+                (wave_np.shape[0], ws_real), rng=spec_rng
             )
+            if dynamic and coeffs.shape[1] > ws_real:
+                mask_time = np.pad(
+                    mask_time, ((0, 0), (0, coeffs.shape[1] - ws_real))
+                )
         # Replicate batches that don't divide the data axis (e.g. the
         # batch-1 validation loader) instead of erroring.
         from said_tpu.parallel.mesh import replicated
@@ -265,6 +279,9 @@ def main(argv=None) -> None:
             )
         if mask_time is not None:
             out["mask_time_indices"] = jax.device_put(mask_time, shard)
+        if dynamic:
+            out["window_real"] = jnp.asarray(ws_real, jnp.int32)
+            out["input_length"] = jnp.asarray(wave_real, jnp.int32)
         return out
 
     for epoch in range(1, args.epochs + 1):

@@ -104,10 +104,25 @@ def said_loss(
     config: TrainConfig,
     train: bool = True,
     mask_time_indices: Optional[jnp.ndarray] = None,  # (B, window) bool
+    window_real=None,  # traced scalar: real frames in a padded window
+    input_length=None,  # traced scalar: real samples in a padded waveform
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Randomized-noise training loss (reference ``random_noise_loss``)."""
+    """Randomized-noise training loss (reference ``random_noise_loss``).
+
+    When ``window_real``/``input_length`` are given, the batch is padded
+    to a bucketed shape and every reduction is masked to the real
+    frames — numerically identical to an unpadded batch of the real
+    window size, so bucketing does not change the training distribution.
+    """
     b, window, c = coeffs.shape
     rng_t, rng_n, rng_drop = jax.random.split(rng, 3)
+
+    dynamic = window_real is not None
+    frame_mask = None
+    if dynamic:
+        frame_mask = (
+            jnp.arange(window) < jnp.asarray(window_real, jnp.int32)
+        ).astype(jnp.float32)
 
     coeff_latents = coeffs * model.latent_scale
 
@@ -123,6 +138,8 @@ def said_loss(
         deterministic=True,  # encoder frozen; dropout off (spec-augment
         # time masking, which HF applies in train mode, comes in through
         # mask_time_indices computed host-side)
+        input_length=input_length if dynamic else None,
+        num_frames_real=window_real if dynamic else None,
     )
     uncond_embedding = model.apply(
         variables, b, cond_embedding.shape[1], method=SAID.null_embedding
@@ -141,6 +158,7 @@ def said_loss(
         audio_embedding,
         deterministic=not train,
         rngs={"dropout": rng_drop} if train else None,
+        seq_len_real=window_real if dynamic else None,
     )
 
     if config.prediction_type == "epsilon":
@@ -157,10 +175,24 @@ def said_loss(
     else:
         answer_rw, pred_rw = answer, pred
 
-    loss_pred = jnp.abs(pred_rw - answer_rw).mean()
-    loss_vel = jnp.abs(
-        (pred_rw[:, 1:] - pred_rw[:, :-1]) - (answer_rw[:, 1:] - answer_rw[:, :-1])
-    ).mean()
+    if dynamic:
+        m = frame_mask[None, :, None]
+        denom = frame_mask.sum() * b * c
+        loss_pred = (jnp.abs(pred_rw - answer_rw) * m).sum() / denom
+        pair_m = (frame_mask[1:] * frame_mask[:-1])[None, :, None]
+        pair_denom = jnp.maximum((frame_mask[1:] * frame_mask[:-1]).sum(), 1.0) * b * c
+        loss_vel = (
+            jnp.abs(
+                (pred_rw[:, 1:] - pred_rw[:, :-1])
+                - (answer_rw[:, 1:] - answer_rw[:, :-1])
+            )
+            * pair_m
+        ).sum() / pair_denom
+    else:
+        loss_pred = jnp.abs(pred_rw - answer_rw).mean()
+        loss_vel = jnp.abs(
+            (pred_rw[:, 1:] - pred_rw[:, :-1]) - (answer_rw[:, 1:] - answer_rw[:, :-1])
+        ).mean()
 
     loss = loss_pred + config.weight_vel * loss_vel
     metrics = {"loss_predict": loss_pred, "loss_velocity": loss_vel}
@@ -172,7 +204,13 @@ def said_loss(
         bd_normalized = (bd / norm.reshape(-1, 1, 1, 1)).reshape(bsz, k, v * i)
         be_answer = jnp.einsum("btk,bkd->btd", answer, bd_normalized)
         be_pred = jnp.einsum("btk,bkd->btd", pred, bd_normalized)
-        loss_vertex = jnp.abs(be_pred - be_answer).mean()
+        if dynamic:
+            mv = frame_mask[None, :, None]
+            loss_vertex = (jnp.abs(be_pred - be_answer) * mv).sum() / (
+                frame_mask.sum() * bsz * (v * i)
+            )
+        else:
+            loss_vertex = jnp.abs(be_pred - be_answer).mean()
         loss = loss + config.weight_vertex * loss_vertex
         metrics["loss_vertex"] = loss_vertex
 
@@ -199,6 +237,8 @@ def make_train_step(model: SAID, schedule: DiffusionSchedule, config: TrainConfi
                 config,
                 train=True,
                 mask_time_indices=batch.get("mask_time_indices"),
+                window_real=batch.get("window_real"),
+                input_length=batch.get("input_length"),
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

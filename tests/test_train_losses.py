@@ -133,3 +133,35 @@ def test_audio_encoder_frozen_by_optimizer_mask(setup):
         params["denoiser"], new_params["denoiser"],
     )
     assert max(jax.tree_util.tree_leaves(den_diff)) > 0.0
+
+
+def test_padded_loss_blind_to_pad_contents(setup):
+    """With window_real/input_length set, the PAD region must be invisible:
+    filling it with garbage instead of zeros changes nothing. (The noise
+    draw is shape-dependent, so exact equality with an unpadded run isn't
+    defined; the guarantee is pad-content independence + masked stats.)"""
+    model, params, schedule, wave, coeffs, cond = setup
+    b, ws, c = coeffs.shape
+    wave_real = wave.shape[1]
+
+    pad_f, target = 7, coeffs.shape[1] + 7
+    wave_target = int(np.ceil(target * 16000 / 60))
+    coeffs_p = jnp.pad(coeffs, ((0, 0), (0, pad_f), (0, 0)))
+    wave_p = jnp.pad(wave, ((0, 0), (0, wave_target - wave_real)))
+
+    rngk = jax.random.PRNGKey(9)
+    coeffs_g = coeffs_p.at[:, ws:].set(
+        jax.random.normal(rngk, (b, pad_f, c)) * 5.0
+    )
+    wave_g = wave_p.at[:, wave_real:].set(
+        jax.random.normal(rngk, (b, wave_target - wave_real)) * 5.0
+    )
+
+    kw = dict(window_real=jnp.asarray(ws), input_length=jnp.asarray(wave_real))
+    _, m_zero = _loss((model, params, schedule, wave_p, coeffs_p, cond), **kw)
+    _, m_garb = _loss((model, params, schedule, wave_g, coeffs_g, cond), **kw)
+    for k in ("loss", "loss_predict", "loss_velocity"):
+        np.testing.assert_allclose(
+            float(m_garb[k]), float(m_zero[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    assert np.isfinite(float(m_zero["loss"]))
