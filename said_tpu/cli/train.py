@@ -45,6 +45,7 @@ from said_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     maybe_init_distributed,
+    put_global,
     shard_params,
 )
 from said_tpu.train.said_train import (
@@ -94,6 +95,14 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
         "--spec_augment", type=bool, default=True,
         help="apply wav2vec2 time masking during training (the reference "
              "trains with the HF encoder in train mode, which does this)",
+    )
+    parser.add_argument(
+        "--encoder_train_mode", type=bool, default=True,
+        help="run the frozen wav2vec2 encoder with train-mode "
+             "stochasticity (hidden/attention/activation dropout + "
+             "layerdrop) during SAiD training, matching the reference "
+             "(script/train.py:547-548 freezes params only, leaving the "
+             "HF module in train mode). Set to '' to disable.",
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
@@ -166,6 +175,7 @@ def main(argv=None) -> None:
         ema=args.ema,
         ema_decay=args.ema_decay,
         prediction_type=args.prediction_type,
+        encoder_train_mode=bool(args.encoder_train_mode),
     )
 
     params = (
@@ -265,20 +275,23 @@ def main(argv=None) -> None:
         # batch-1 validation loader) instead of erroring.
         from said_tpu.parallel.mesh import replicated
 
+        # put_global handles multi-host meshes: every process builds the
+        # same global batch (seed-synchronized loaders) and contributes
+        # only its own rows via make_array_from_process_local_data.
         shard = data_shard if len(waves) % data_axis == 0 else replicated(mesh)
         out = {
-            "waveform": jax.device_put(wave_np, shard),
-            "coeffs": jax.device_put(coeffs.astype(np.float32), shard),
-            "cond": jax.device_put(batch.cond, shard),
+            "waveform": put_global(wave_np, shard),
+            "coeffs": put_global(coeffs.astype(np.float32), shard),
+            "cond": put_global(batch.cond, shard),
         }
         if std is not None:
             out["std"] = std
         if batch.blendshape_delta is not None:
-            out["blendshape_delta"] = jax.device_put(
+            out["blendshape_delta"] = put_global(
                 batch.blendshape_delta.astype(np.float32), shard
             )
         if mask_time is not None:
-            out["mask_time_indices"] = jax.device_put(mask_time, shard)
+            out["mask_time_indices"] = put_global(mask_time, shard)
         if dynamic:
             out["window_real"] = jnp.asarray(ws_real, jnp.int32)
             out["input_length"] = jnp.asarray(wave_real, jnp.int32)

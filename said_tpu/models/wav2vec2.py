@@ -49,6 +49,15 @@ class Wav2Vec2Config:
     num_conv_pos_embeddings: int = 128
     num_conv_pos_embedding_groups: int = 16
     output_hidden_size: int = 768
+    # Train-mode stochasticity (HF wav2vec2-base values). The reference
+    # trains SAiD with the frozen HF encoder still in TRAIN mode
+    # (``script/train.py:547-548`` freezes params only), so these are
+    # active on the audio embeddings during SAiD training.
+    hidden_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    feat_proj_dropout: float = 0.1
+    layerdrop: float = 0.1
 
     def feature_extract_output_length(self, input_length: int) -> int:
         """Output frame count of the conv stack for a waveform length."""
@@ -185,14 +194,18 @@ class EncoderLayer(nn.Module):
             )
             scores = jnp.where(km, scores, neg)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = nn.Dropout(cfg.attention_dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bshd->bthd", attn, vh).reshape(b, t, h)
         out = nn.Dense(h, dtype=self.dtype, name="out_proj")(out)
+        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         x = res + out
         x = LayerNormW2V(eps=cfg.layer_norm_eps, name="layer_norm")(x)
 
         ff = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="ff_inter")(x)
         ff = jax.nn.gelu(ff, approximate=False)
+        ff = nn.Dropout(cfg.activation_dropout)(ff, deterministic=deterministic)
         ff = nn.Dense(h, dtype=self.dtype, name="ff_out")(ff)
+        ff = nn.Dropout(cfg.hidden_dropout)(ff, deterministic=deterministic)
         x = x + ff
         x = LayerNormW2V(eps=cfg.layer_norm_eps, name="final_layer_norm")(x)
         return x
@@ -263,9 +276,10 @@ class Wav2Vec2Encoder(nn.Module):
             else:
                 feats = linear_interp_time(feats, num_frames)
 
-        # Feature projection: LN → Dense(512 → hidden)
+        # Feature projection: LN → Dense(512 → hidden) → dropout
         h = LayerNormW2V(eps=cfg.layer_norm_eps, name="fp_layer_norm")(feats)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fp_projection")(h)
+        h = nn.Dropout(cfg.feat_proj_dropout)(h, deterministic=deterministic)
 
         # Spec-augment time masking (training only; indices computed host-side)
         masked_spec_embed = self.param(
@@ -298,13 +312,25 @@ class Wav2Vec2Encoder(nn.Module):
             # the zero boundary the unpadded program would.
             h = h * m.astype(h.dtype)
 
-        # Encoder: positional conv + LN + layers
+        # Encoder: positional conv + LN + dropout + layers (with layerdrop)
         h = h + PositionalConvEmbedding(cfg, self.dtype, name="pos_conv")(h)
         h = LayerNormW2V(eps=cfg.layer_norm_eps, name="encoder_layer_norm")(h)
+        h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+        use_layerdrop = not deterministic and cfg.layerdrop > 0.0
         for i in range(cfg.num_hidden_layers):
-            h = EncoderLayer(cfg, self.dtype, name=f"layer_{i}")(
+            out = EncoderLayer(cfg, self.dtype, name=f"layer_{i}")(
                 h, deterministic, key_mask=frame_mask
             )
+            if use_layerdrop:
+                # HF skips the whole layer w.p. layerdrop in train mode; as
+                # a compiled program we compute and select (the encoder is
+                # frozen during SAiD training, so no wasted backward).
+                drop = jax.random.bernoulli(
+                    self.make_rng("dropout"), cfg.layerdrop
+                )
+                h = jnp.where(drop, h, out)
+            else:
+                h = out
         return h
 
 
@@ -314,20 +340,60 @@ def compute_time_mask_indices(
     mask_length: int = 10,
     rng: Optional[np.random.Generator] = None,
     min_masks: int = 2,
+    input_lengths: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Host-side port of HF's spec-augment time-mask index sampling.
+    """Host-side port of HF's spec-augment time-mask sampler.
+
+    Faithful to ``transformers`` ``_compute_mask_indices`` (the sampler
+    the reference's train-mode encoder runs, ``script/train.py:547-548``
+    leaves the module in train mode): ONE epsilon draw per call for
+    probabilistic rounding, per-row span counts derived from
+    ``input_lengths`` (HF's attention_mask row sums), the two clamps
+    (spans·length ≤ T; spans ≤ input_length − mask_length + 1), and
+    dummy-index padding of short rows — dummies duplicate an existing
+    span, so they add no coverage, exactly like HF.
 
     Returns a (B, T) bool array; True marks masked time steps.
+    tests/test_spec_augment.py checks this port statistically against
+    the installed ``transformers`` sampler.
     """
     b, t = shape
     rng = rng or np.random.default_rng()
     mask = np.zeros((b, t), dtype=bool)
     if mask_length >= t:
+        # HF raises for mask_length > T; SAiD windows are >= 120 frames so
+        # this only triggers in toy tests, where "no masking" is the
+        # useful behavior.
         return mask
-    num_spans = int(mask_prob * t / mask_length + rng.random())
-    num_spans = max(num_spans, min_masks)
-    for i in range(b):
-        starts = rng.choice(t - mask_length + 1, size=num_spans, replace=False)
+    if input_lengths is None:
+        input_lengths = [t] * b
+
+    epsilon = rng.random()
+
+    def num_spans(input_length: int) -> int:
+        n = int(mask_prob * input_length / mask_length + epsilon)
+        n = max(n, min_masks)
+        if n * mask_length > t:
+            n = t // mask_length
+        if input_length - (mask_length - 1) < n:
+            n = max(input_length - (mask_length - 1), 0)
+        return n
+
+    max_spans = num_spans(t)
+    if max_spans == 0:
+        return mask
+
+    for i, input_length in enumerate(input_lengths):
+        n = num_spans(int(input_length))
+        starts = rng.choice(int(input_length) - (mask_length - 1), size=n, replace=False)
+        if len(starts) == 0:
+            # row shorter than one span: HF pads with T-1 (a padding frame)
+            dummy = t - 1
+        else:
+            dummy = starts[0]
+        starts = np.concatenate(
+            [starts, np.full(max_spans - n, dummy, dtype=np.int64)]
+        )
         for s in starts:
-            mask[i, s : s + mask_length] = True
+            mask[i, s : min(s + mask_length, t)] = True
     return mask

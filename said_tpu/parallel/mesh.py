@@ -88,6 +88,48 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _union_slice(slices: Sequence[slice], dim_size: int) -> slice:
+    """Union of contiguous per-device row slices into one host-local block.
+
+    Pure helper for ``put_global`` — the rows of a batch-sharded global
+    array owned by this process are the union of its addressable
+    devices' index slices, which XLA lays out contiguously for a
+    leading-axis ('data') sharding.
+    """
+    starts = [s.start if s.start is not None else 0 for s in slices]
+    stops = [s.stop if s.stop is not None else dim_size for s in slices]
+    lo, hi = min(starts), max(stops)
+    if hi - lo != sum(st - sa for sa, st in zip(starts, stops)) and len(
+        set((sa, st) for sa, st in zip(starts, stops))
+    ) != 1:
+        raise ValueError(f"non-contiguous device slices: {slices}")
+    return slice(lo, hi)
+
+
+def host_local_slice(global_shape: tuple, sharding: NamedSharding) -> slice:
+    """Leading-axis rows of a global array that THIS process must supply."""
+    idx_map = sharding.addressable_devices_indices_map(global_shape)
+    return _union_slice([ix[0] for ix in idx_map.values()], global_shape[0])
+
+
+def put_global(x, sharding: NamedSharding):
+    """Place a host-global numpy batch on a (possibly multi-host) mesh.
+
+    Single-process: plain ``device_put``. Multi-process: every host
+    builds the same global batch (the loaders are seed-synchronized), and
+    each contributes only its own rows via
+    ``jax.make_array_from_process_local_data`` — ``device_put`` of a
+    host-global array cannot address other hosts' devices, which is why
+    the reference-style "move the whole batch" pattern breaks under
+    ``jax.distributed.initialize()`` (SURVEY §2.9 DP row).
+    """
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    local = x[host_local_slice(x.shape, sharding)]
+    return jax.make_array_from_process_local_data(sharding, local, x.shape)
+
+
 # Tensor-parallel partitioning rules: parameter-path regex → PartitionSpec.
 # Kernels are (in, out) for Dense and (W, in, out) for Conv; we shard the
 # output dim of "up" projections and the input dim of "down" projections,

@@ -43,6 +43,12 @@ class TrainConfig:
     ema: bool = True
     ema_decay: float = 0.9999
     prediction_type: str = "epsilon"
+    # Reference behavior: the frozen HF encoder stays in TRAIN mode during
+    # SAiD training (``script/train.py:547-548`` freezes params only), so
+    # hidden/attention/activation dropout and layerdrop are active on the
+    # audio embeddings. False = deterministic encoder (an ablation the
+    # reference cannot express).
+    encoder_train_mode: bool = True
 
 
 class TrainState(struct.PyTreeNode):
@@ -115,7 +121,7 @@ def said_loss(
     window size, so bucketing does not change the training distribution.
     """
     b, window, c = coeffs.shape
-    rng_t, rng_n, rng_drop = jax.random.split(rng, 3)
+    rng_t, rng_n, rng_drop, rng_enc = jax.random.split(rng, 4)
 
     dynamic = window_real is not None
     frame_mask = None
@@ -129,15 +135,19 @@ def said_loss(
     timesteps = jax.random.randint(rng_t, (b,), 0, schedule.num_train_timesteps)
 
     variables = {"params": params}
+    # Reference parity: the frozen encoder runs in TRAIN mode during
+    # training (dropout/layerdrop active on embeddings + the host-side
+    # spec-augment indices in mask_time_indices); frozen means only that
+    # no gradients update it.
+    encoder_stochastic = train and config.encoder_train_mode
     cond_embedding = model.apply(
         variables,
         waveform,
         window,
         mask_time_indices=mask_time_indices,
         method=SAID.get_audio_embedding,
-        deterministic=True,  # encoder frozen; dropout off (spec-augment
-        # time masking, which HF applies in train mode, comes in through
-        # mask_time_indices computed host-side)
+        deterministic=not encoder_stochastic,
+        rngs={"dropout": rng_enc} if encoder_stochastic else None,
         input_length=input_length if dynamic else None,
         num_frames_real=window_real if dynamic else None,
     )

@@ -36,6 +36,45 @@ def test_dryrun_multichip_8():
     dryrun_multichip(8)
 
 
+def test_union_slice_math():
+    """Pure host-slice math used for multi-host batch feeding."""
+    from said_tpu.parallel.mesh import _union_slice
+
+    # contiguous per-device blocks (what a process owns under P('data'))
+    assert _union_slice([slice(2, 4), slice(0, 2), slice(4, 6)], 8) == slice(0, 6)
+    # replicated: every device holds the full axis
+    assert _union_slice([slice(0, 8)] * 4, 8) == slice(0, 8)
+    # open-ended slices normalize against the dim size
+    assert _union_slice([slice(None, None)], 8) == slice(0, 8)
+    with pytest.raises(ValueError):
+        _union_slice([slice(0, 2), slice(4, 6)], 8)  # gap → not one block
+
+
+def test_host_local_slice_and_put_global():
+    """Single-process: put_global must equal device_put; the slice is full."""
+    from said_tpu.parallel.mesh import batch_sharding, host_local_slice, put_global
+
+    mesh = make_mesh(MeshConfig())
+    shard = batch_sharding(mesh)
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    # one process owns all devices → local block is the whole batch
+    assert host_local_slice(x.shape, shard) == slice(0, 8)
+    out = put_global(x, shard)
+    np.testing.assert_array_equal(np.asarray(out), x)
+    assert out.sharding == shard
+
+
+def test_host_local_slice_two_process_map():
+    """Simulate the 2-host device→indices map and check each host's rows."""
+    from said_tpu.parallel.mesh import _union_slice
+
+    # 8-way data sharding of a 16-row batch over 2 hosts × 4 devices:
+    # host 0 owns devices 0-3 → rows 0:8, host 1 owns 4-7 → rows 8:16.
+    per_dev = [slice(2 * d, 2 * d + 2) for d in range(8)]
+    assert _union_slice(per_dev[:4], 16) == slice(0, 8)
+    assert _union_slice(per_dev[4:], 16) == slice(8, 16)
+
+
 def test_dp_equals_single_device_loss():
     """The sharded loss must match an unsharded run bit-for-bit-ish."""
     import jax.numpy as jnp
