@@ -1,15 +1,21 @@
-"""Benchmark: real-time factor of full-chain SAiD sampling on one chip.
+"""Benchmark: the full BASELINE.json metric set on one chip.
 
-Measures RTF = audio-seconds / wall-seconds for the complete inference
-pipeline (audio encoding + N DDIM steps with CFG, the whole chain one
-jitted lax.scan), matching the reference CLI's default protocol
-(1000 steps, guidance 2.0 → CFG-doubled batch).
+Prints one JSON line per metric (first line = the headline RTF, same
+metric as round 1 for comparability):
 
-Prints ONE JSON line:
-  {"metric": "rtf_1000step_b1", "value": R, "unit": "x_realtime",
-   "vs_baseline": R / 10}
-vs_baseline is against the 10× real-time north-star target
-(BASELINE.json; the reference repo publishes no numbers of its own).
+  rtf_1000step_b1        RTF of full 1000-step CFG sampling, 10 s clip
+  rtf_1000step_b1_60s    same for a 60 s clip (T=3600 self-attention)
+  steps_per_sec_b1       denoise steps/sec at batch 1 (10 s clip)
+  steps_per_sec_b32      denoise steps/sec at batch 32 (eval-shape clips)
+  rtf_1000step_b32       aggregate RTF at batch 32
+  rtf_bucketed_mixed     mixed-length bucketed batch (production serving
+                         mode: one compiled program, per-row lengths)
+
+RTF = audio-seconds / wall-seconds for the complete pipeline (audio
+encoding + N DDIM steps with CFG, the whole chain one jitted lax.scan),
+matching the reference CLI's defaults (1000 steps, guidance 2.0).
+vs_baseline is against the 10x real-time north-star (BASELINE.json; the
+reference repo publishes no numbers of its own).
 """
 
 from __future__ import annotations
@@ -29,43 +35,96 @@ def main() -> None:
     from said_tpu.models.said import SAIDPipeline, process_audio
 
     on_tpu = jax.default_backend() == "tpu"
-    audio_secs = 10.0 if on_tpu else 0.5
     num_steps = 1000 if on_tpu else 20
     dtype = "bfloat16" if on_tpu else "float32"
 
     model = build_said_model(dtype=dtype, attn_impl="auto")
     params = init_said_params(model, seed=0)
     pipeline = SAIDPipeline(model, params)
-
     sr = pipeline.sampling_rate
     rng = np.random.default_rng(0)
-    wave = rng.standard_normal((1, int(sr * audio_secs))).astype(np.float32)
-    processed = process_audio(wave)
 
-    def run(seed):
-        out = pipeline.inference(
+    def timed(batch, secs, n_iters, **kw):
+        """Wall-seconds per pipeline.inference call (returns numpy, so the
+        timing is a true sync point even over the axon tunnel)."""
+        wave = rng.standard_normal((batch, int(sr * secs))).astype(np.float32)
+        processed = process_audio(wave)
+
+        def run(seed):
+            return pipeline.inference(
+                waveform_processed=processed,
+                num_inference_steps=num_steps,
+                guidance_scale=2.0,
+                rng=jax.random.PRNGKey(seed),
+                **kw,
+            )
+
+        run(0)  # compile
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            run(i + 1)
+        return (time.perf_counter() - t0) / n_iters
+
+    results = []
+
+    def emit(metric, value, unit, baseline=10.0):
+        results.append(
+            {
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": unit,
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+
+    # 1. Headline: 10 s clip, batch 1 (round-1 metric, keep comparable).
+    secs_b1 = 10.0 if on_tpu else 0.5
+    wall = timed(1, secs_b1, 3 if on_tpu else 1)
+    emit(f"rtf_{num_steps}step_b1", secs_b1 / wall, "x_realtime")
+    emit(f"steps_per_sec_b1", num_steps / wall, "steps/s", baseline=100.0)
+
+    # 2. Long clip: 60 s (T=3600 frames) — the hard shape for attention.
+    secs_long = 60.0 if on_tpu else 1.0
+    wall = timed(1, secs_long, 2 if on_tpu else 1)
+    emit(f"rtf_{num_steps}step_b1_60s", secs_long / wall, "x_realtime")
+
+    # 3. Batch 32 at the eval-protocol clip length (~4.27 s).
+    b32 = 32 if on_tpu else 2
+    secs_b32 = 4.27 if on_tpu else 0.5
+    wall = timed(b32, secs_b32, 2 if on_tpu else 1)
+    emit(f"steps_per_sec_b32", num_steps / wall, "steps/s", baseline=100.0)
+    emit(f"rtf_{num_steps}step_b32", b32 * secs_b32 / wall, "x_realtime")
+
+    # 4. Bucketed mixed-length serving mode: one program, per-row lengths.
+    bucket = 256 if on_tpu else 64
+    lens_s = (3.1, 4.0, 2.4, 4.2) if on_tpu else (0.4, 0.5)
+    max_s = max(lens_s)
+    waves = rng.standard_normal((len(lens_s), int(sr * max_s))).astype(np.float32)
+    lengths = np.array([int(sr * s) for s in lens_s])
+    for i, n in enumerate(lengths):
+        waves[i, n:] = 0.0
+    processed = process_audio(waves)  # normalization per full row is fine here
+
+    def run_bucketed(seed):
+        return pipeline.inference(
             waveform_processed=processed,
             num_inference_steps=num_steps,
             guidance_scale=2.0,
             rng=jax.random.PRNGKey(seed),
+            length_bucket=bucket,
+            waveform_lengths=lengths,
         )
-        return out
 
-    run(0)  # compile
+    run_bucketed(0)
     t0 = time.perf_counter()
-    n_iters = 3 if on_tpu else 1
-    for i in range(n_iters):
-        run(i + 1)
-    wall = (time.perf_counter() - t0) / n_iters
+    iters = 2 if on_tpu else 1
+    for i in range(iters):
+        run_bucketed(i + 1)
+    wall = (time.perf_counter() - t0) / iters
+    emit("rtf_bucketed_mixed", sum(lens_s) / wall, "x_realtime")
 
-    rtf = audio_secs / wall
-    result = {
-        "metric": f"rtf_{num_steps}step_b1",
-        "value": round(rtf, 3),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / 10.0, 3),
-    }
-    print(json.dumps(result))
+    for r in results:
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":

@@ -53,9 +53,30 @@ if bpy is not None:
             name="Mesh Sequence Dir", subtype="DIR_PATH"
         )
         fps: bpy.props.IntProperty(name="FPS", default=60, min=1)
+        start_frame: bpy.props.IntProperty(
+            name="Start Frame", default=1,
+            description="Scene frame the first CSV row lands on",
+        )
+        audio_offset: bpy.props.FloatProperty(
+            name="Audio Offset (s)", default=0.0,
+            description="Delay the audio strip by this many seconds "
+            "relative to the first animation frame",
+        )
         target_a: bpy.props.PointerProperty(name="Object A", type=bpy.types.Object)
         target_b: bpy.props.PointerProperty(name="Object B", type=bpy.types.Object)
-        max_diff: bpy.props.FloatProperty(name="Max Diff", default=0.001, min=1e-6)
+        max_diff: bpy.props.FloatProperty(
+            name="Max Diff", default=0.001, min=1e-6,
+            description="Difference mapped to full color (1/multiplier)",
+        )
+        vis_option: bpy.props.EnumProperty(
+            name="Vis Option",
+            items=[
+                ("Heatmap", "Heatmap", "blue→red by normalized distance"),
+                ("Amplitude", "Amplitude", "grayscale |diff|·multiplier"),
+                ("Vector", "Vector", "RGB = |diff.xyz|·multiplier"),
+            ],
+            default="Heatmap",
+        )
 
     def _load_csv(path):
         with open(path, newline="") as f:
@@ -108,20 +129,24 @@ if bpy is not None:
             keys = obj.data.shape_keys.key_blocks
 
             context.scene.render.fps = props.fps
-            for frame, row in enumerate(rows, start=1):
+            start = props.start_frame
+            for frame, row in enumerate(rows, start=start):
                 for name, value in zip(header, row):
                     if name in keys:
                         keys[name].value = value
                         keys[name].keyframe_insert("value", frame=frame)
-            context.scene.frame_end = max(context.scene.frame_end, len(rows))
+            context.scene.frame_end = max(
+                context.scene.frame_end, start + len(rows) - 1
+            )
 
             if props.audio_path:
                 if not context.scene.sequence_editor:
                     context.scene.sequence_editor_create()
+                audio_frame = start + int(round(props.audio_offset * props.fps))
                 context.scene.sequence_editor.sequences.new_sound(
-                    "said_audio", bpy.path.abspath(props.audio_path), 1, 1
+                    "said_audio", bpy.path.abspath(props.audio_path), 1, audio_frame
                 )
-            self.report({"INFO"}, f"keyframed {len(rows)} frames")
+            self.report({"INFO"}, f"keyframed {len(rows)} frames from {start}")
             return {"FINISHED"}
 
     class SAID_OT_import_mesh_sequence(bpy.types.Operator):
@@ -206,10 +231,30 @@ if bpy is not None:
             return {"FINISHED"}
 
     class SAID_OT_visualize_difference(bpy.types.Operator):
-        """Per-vertex distance between two animated meshes → vertex colors"""
+        """Per-vertex distance between two animated meshes, keyframed as an
+        ANIMATED vertex-color heatmap (one fcurve per loop color channel,
+        like the reference ``lipsync.py:642-756``), with a vertex-color
+        material attached so the viewport shows it directly."""
 
         bl_idname = "said_lipsync.visualize_difference"
         bl_label = "Visualize Difference"
+
+        DIFF_MATERIAL = "said_diff_material"
+        DIFF_ACTION = "said_diff_action"
+
+        def _diff_color(self, props, diff):
+            mult = 1.0 / props.max_diff
+            if props.vis_option == "Vector":
+                return (
+                    abs(diff[0]) * mult,
+                    abs(diff[1]) * mult,
+                    abs(diff[2]) * mult,
+                )
+            amp = diff.length * mult
+            if props.vis_option == "Amplitude":
+                return (amp, amp, amp)
+            d = min(amp, 1.0)  # Heatmap: blue → red
+            return (d, 0.0, 1.0 - d)
 
         def execute(self, context):
             props = context.scene.said_lipsync
@@ -220,22 +265,66 @@ if bpy is not None:
 
             scene = context.scene
             depsgraph = context.evaluated_depsgraph_get()
-            if not a.data.vertex_colors:
-                a.data.vertex_colors.new(name="said_diff")
-            layer = a.data.vertex_colors["said_diff"]
+            mesh = a.data
+            if not mesh.vertex_colors:
+                mesh.vertex_colors.new(name="said_diff")
 
+            # vertex-color material so the animation is visible unshaded
+            if self.DIFF_MATERIAL not in bpy.data.materials:
+                mat = bpy.data.materials.new(name=self.DIFF_MATERIAL)
+                mat.use_nodes = True
+                vcolor = mat.node_tree.nodes.new("ShaderNodeVertexColor")
+                bsdf = mat.node_tree.nodes["Principled BSDF"]
+                mat.node_tree.links.new(vcolor.outputs[0], bsdf.inputs[0])
+            mat = bpy.data.materials[self.DIFF_MATERIAL]
+            if mat.name not in [m.name for m in mesh.materials if m]:
+                mesh.materials.append(mat)
+                idx = len(mesh.materials) - 1
+                for poly in mesh.polygons:
+                    poly.material_index = idx
+
+            # per-frame per-loop colors (evaluated meshes: shape keys and
+            # modifiers applied — the reference reads raw mesh.vertices,
+            # which misses shape-key deformation)
+            frames = list(range(scene.frame_start, scene.frame_end + 1))
+            num_loops = len(mesh.loops)
+            colors = [[None] * num_loops for _ in frames]
             current = scene.frame_current
-            for frame in range(scene.frame_start, scene.frame_end + 1):
+            for fi, frame in enumerate(frames):
                 scene.frame_set(frame)
-                ea = a.evaluated_get(depsgraph)
-                eb = b.evaluated_get(depsgraph)
-                for loop in a.data.loops:
-                    va = ea.data.vertices[loop.vertex_index].co
-                    vb = eb.data.vertices[loop.vertex_index].co
-                    d = min((va - vb).length / props.max_diff, 1.0)
-                    layer.data[loop.index].color = (d, 0.0, 1.0 - d, 1.0)
-                layer.data.update()
+                ea = a.evaluated_get(depsgraph).data
+                eb = b.evaluated_get(depsgraph).data
+                for loop in mesh.loops:
+                    va = ea.vertices[loop.vertex_index].co
+                    vb = eb.vertices[loop.vertex_index].co
+                    colors[fi][loop.index] = self._diff_color(props, va - vb)
             scene.frame_set(current)
+
+            # keyframe the whole animation: one fcurve per loop × RGB,
+            # bulk-filled with foreach_set (fast for thousands of loops)
+            mesh.animation_data_create()
+            action = bpy.data.actions.new(name=self.DIFF_ACTION)
+            mesh.animation_data.action = action
+            for loop_idx in range(num_loops):
+                for ch in range(3):
+                    fcurve = action.fcurves.new(
+                        data_path=f"vertex_colors.active.data[{loop_idx}].color",
+                        index=ch,
+                    )
+                    fcurve.keyframe_points.add(count=len(frames))
+                    fcurve.keyframe_points.foreach_set(
+                        "co",
+                        [
+                            x
+                            for fi, frame in enumerate(frames)
+                            for x in (frame, colors[fi][loop_idx][ch])
+                        ],
+                    )
+            self.report(
+                {"INFO"},
+                f"keyframed {len(frames)} frames × {num_loops} loops "
+                f"({props.vis_option})",
+            )
             return {"FINISHED"}
 
     class SAID_PT_panel(bpy.types.Panel):
@@ -255,6 +344,8 @@ if bpy is not None:
             col.prop(props, "coeffs_path")
             col.prop(props, "audio_path")
             col.prop(props, "fps")
+            col.prop(props, "start_frame")
+            col.prop(props, "audio_offset")
             col.operator(SAID_OT_import_animation.bl_idname)
             col.operator(SAID_OT_export_animation.bl_idname)
             col.separator()
@@ -264,6 +355,7 @@ if bpy is not None:
             col.prop(props, "target_a")
             col.prop(props, "target_b")
             col.prop(props, "max_diff")
+            col.prop(props, "vis_option")
             col.operator(SAID_OT_visualize_difference.bl_idname)
 
     _CLASSES = [

@@ -18,6 +18,7 @@ def build_said_model(
     feature_dim: int = -1,
     dtype: str = "float32",
     attn_impl: str = "auto",
+    remat: bool = False,
 ) -> SAID:
     """Construct the SAID model with CLI-level options.
 
@@ -42,6 +43,7 @@ def build_said_model(
         dtype=dt,
         self_attn_impl=self_impl,
         cross_attn_impl=cross_impl,
+        remat=remat,
     )
 
 

@@ -85,6 +85,18 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--save_period", type=int, default=200)
     # TPU-native extensions
     parser.add_argument("--window_bucket", type=int, default=8)
+    parser.add_argument(
+        "--val_window_bucket", type=int, default=128,
+        help="pad validation clips (full-length, ~80 distinct lengths) up "
+             "to multiples of this many frames with masked losses — a "
+             "handful of compiled programs instead of one per clip length",
+    )
+    parser.add_argument(
+        "--gradient_checkpointing", type=bool, default=False,
+        help="recompute UNet block activations in the backward pass "
+             "(jax.remat) — trades FLOPs for activation memory on long "
+             "windows (reference mechanism: said/model/ldm/util.py:17-63)",
+    )
     parser.add_argument("--mesh_data", type=int, default=-1)
     parser.add_argument("--mesh_model", type=int, default=1)
     parser.add_argument("--init_weights", type=str, default="",
@@ -129,6 +141,7 @@ def main(argv=None) -> None:
         prediction_type=args.prediction_type,
         feature_dim=args.unet_feature_dim,
         dtype=args.dtype,
+        remat=bool(args.gradient_checkpointing),
     )
     schedule = DiffusionSchedule.create(
         model.diffusion_steps, args.prediction_type
@@ -234,21 +247,25 @@ def main(argv=None) -> None:
 
     os.makedirs(args.output_dir, exist_ok=True)
 
-    def prepare_batch(batch, bucket=True):
+    def prepare_batch(batch, bucket_size=None, augment=True):
         """Collated numpy batch → device arrays.
 
-        Windows are PADDED up to the next --window_bucket multiple and the
-        real length is passed through; masked norms/attention/losses make
-        the result numerically identical to the unpadded batch, so one
-        compiled program per bucket serves the reference's fully-random
-        window-size distribution without changing it.
+        Windows are PADDED up to the next ``bucket_size`` multiple
+        (default --window_bucket) and the real length is passed through;
+        masked norms/attention/losses make the result numerically
+        identical to the unpadded batch, so one compiled program per
+        bucket serves the reference's fully-random window-size
+        distribution without changing it. Validation uses a coarser
+        --val_window_bucket with ``augment=False`` (no spec-augment).
         """
+        if bucket_size is None:
+            bucket_size = args.window_bucket
         coeffs = batch.blendshape_coeffs
         ws_real = coeffs.shape[1]
         wave_real = len(batch.waveform[0])
-        dynamic = bucket and args.window_bucket > 1
+        dynamic = bucket_size > 1
         if dynamic:
-            target = _bucket_up(ws_real, args.window_bucket)
+            target = _bucket_up(ws_real, bucket_size)
             wave_target = int(np.ceil(target * 16000 / 60))
             coeffs = np.pad(coeffs, ((0, 0), (0, target - ws_real), (0, 0)))
             waves = [
@@ -261,7 +278,7 @@ def main(argv=None) -> None:
         if dynamic:
             wave_np = np.pad(wave_np, ((0, 0), (0, wave_target - wave_real)))
         mask_time = None
-        if bucket and args.spec_augment:
+        if augment and args.spec_augment:
             from said_tpu.models.wav2vec2 import compute_time_mask_indices
 
             mask_time = compute_time_mask_indices(
@@ -323,7 +340,13 @@ def main(argv=None) -> None:
                 for batch in val_loader:
                     rng, step_rng = jax.random.split(rng)
                     metrics = eval_step(
-                        val_params, prepare_batch(batch, bucket=False), step_rng
+                        val_params,
+                        prepare_batch(
+                            batch,
+                            bucket_size=args.val_window_bucket,
+                            augment=False,
+                        ),
+                        step_rng,
                     )
                     bsz = len(batch.waveform)
                     for k, v in metrics.items():

@@ -52,6 +52,7 @@ class SAID(nn.Module):
     dtype: Any = jnp.float32
     self_attn_impl: str = "dense"
     cross_attn_impl: str = "banded"
+    remat: bool = False
 
     def setup(self):
         cross_dim = (
@@ -68,6 +69,7 @@ class SAID(nn.Module):
             dtype=self.dtype,
             self_attn_impl=self.self_attn_impl,
             cross_attn_impl=self.cross_attn_impl,
+            remat=self.remat,
         )
         emb_dim = self.feature_dim if self.feature_dim > 0 else self.audio_config.output_hidden_size
         self.null_cond_emb = self.param(

@@ -162,6 +162,7 @@ class CrossAttention(nn.Module):
         impl: str = "dense",
         deterministic: bool = True,
         kv_cache: Optional[tuple] = None,
+        lengths: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         inner = self.heads * self.dim_head
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
@@ -173,7 +174,10 @@ class CrossAttention(nn.Module):
             ctx = x if context is None else context
             k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
-            out = multi_head_attention(q, k, v, self.heads, mask=mask, impl=impl, band=band)
+            out = multi_head_attention(
+                q, k, v, self.heads, mask=mask, impl=impl, band=band,
+                lengths=lengths,
+            )
         out = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
@@ -222,17 +226,30 @@ class BasicTransformerBlock(nn.Module):
     ) -> jnp.ndarray:
         self_mask = None
         self_impl = self.self_attn_impl
+        self_lengths = None
         if seq_mask is not None:
-            # Bucketed mode: mask padded keys; dense path handles the mask
-            # (the Pallas kernel is static-shape only).
-            t_pad = x.shape[1]
-            if seq_mask.ndim == 1:
-                self_mask = jnp.broadcast_to(seq_mask[None, :], (t_pad, t_pad))
-            else:  # per-row key masks
-                self_mask = jnp.broadcast_to(
-                    seq_mask[:, None, :], (seq_mask.shape[0], t_pad, t_pad)
+            if self_impl == "flash" and seq_len_real is not None:
+                # Bucketed / mixed-length mode on the flash path: per-row
+                # runtime lengths — the kernel masks straddling key blocks
+                # and SKIPS fully-padded blocks, so the padded tail costs
+                # ~nothing (short lengths route to dense+mask inside
+                # flash_attention, numerically the same).
+                slr = jnp.asarray(seq_len_real, jnp.int32)
+                self_lengths = (
+                    jnp.broadcast_to(slr.reshape(-1), (x.shape[0],))
+                    if slr.ndim <= 1
+                    else slr
                 )
-            self_impl = "dense"
+            else:
+                # dense path handles the mask
+                t_pad = x.shape[1]
+                if seq_mask.ndim == 1:
+                    self_mask = jnp.broadcast_to(seq_mask[None, :], (t_pad, t_pad))
+                else:  # per-row key masks
+                    self_mask = jnp.broadcast_to(
+                        seq_mask[:, None, :], (seq_mask.shape[0], t_pad, t_pad)
+                    )
+                self_impl = "dense"
         x = x + CrossAttention(
             self.heads, self.dim_head, self.dropout, self.dtype, name="attn1"
         )(
@@ -240,6 +257,7 @@ class BasicTransformerBlock(nn.Module):
             mask=self_mask,
             impl=self_impl,
             deterministic=deterministic,
+            lengths=self_lengths,
         )
 
         band = None
@@ -356,6 +374,7 @@ class UNet1DConditionModel(nn.Module):
     dtype: Any = jnp.float32
     self_attn_impl: str = "dense"
     cross_attn_impl: str = "banded"
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -418,6 +437,31 @@ class UNet1DConditionModel(nn.Module):
             cross_attn_impl=self.cross_attn_impl,
         )
 
+        # Gradient checkpointing (the reference ships the mechanism at
+        # ``said/model/ldm/util.py:17-63``, off in SAiD's config): wrap each
+        # ResBlock/SpatialTransformer so the backward pass recomputes its
+        # activations instead of storing them. Parameter names/structure are
+        # unchanged. ``deterministic`` (arg 3 counting self) is static.
+        res_cls, st_cls = ResBlock1D, SpatialTransformer
+        if self.remat:
+            res_cls = nn.remat(ResBlock1D, static_argnums=(3,))
+            st_cls = nn.remat(SpatialTransformer, static_argnums=(3,))
+
+        def res(name, h, _emb=None):
+            return res_cls(mc, self.dropout, self.dtype, name=name)(
+                h, emb if _emb is None else _emb, deterministic, seq_mask
+            )
+
+        def st(name, h):
+            return st_cls(**st_kwargs, name=name)(
+                h,
+                context,
+                deterministic,
+                None if kv_caches is None else kv_caches[name],
+                seq_mask,
+                seq_len_real,
+            )
+
         x = sample.astype(self.dtype)
         if seq_mask is not None:
             m = seq_mask[None, :, None] if seq_mask.ndim == 1 else seq_mask[:, :, None]
@@ -427,50 +471,20 @@ class UNet1DConditionModel(nn.Module):
 
         h0 = nn.Conv(mc, (3,), padding=1, dtype=self.dtype, name="input_conv")(x)
 
-        h1 = ResBlock1D(mc, self.dropout, self.dtype, name="input_res")(
-            h0, emb, deterministic, seq_mask
-        )
-        h1 = SpatialTransformer(**st_kwargs, name="input_attn")(
-            h1, context, deterministic,
-            kv_cache=None if kv_caches is None else kv_caches["input_attn"],
-            seq_mask=seq_mask,
-            seq_len_real=seq_len_real,
-        )
+        h1 = res("input_res", h0)
+        h1 = st("input_attn", h1)
 
-        hm = ResBlock1D(mc, self.dropout, self.dtype, name="middle_res1")(
-            h1, emb, deterministic, seq_mask
-        )
-        hm = SpatialTransformer(**st_kwargs, name="middle_attn")(
-            hm, context, deterministic,
-            kv_cache=None if kv_caches is None else kv_caches["middle_attn"],
-            seq_mask=seq_mask,
-            seq_len_real=seq_len_real,
-        )
-        hm = ResBlock1D(mc, self.dropout, self.dtype, name="middle_res2")(
-            hm, emb, deterministic, seq_mask
-        )
+        hm = res("middle_res1", h1)
+        hm = st("middle_attn", hm)
+        hm = res("middle_res2", hm)
 
         o = jnp.concatenate([hm, h1], axis=-1)
-        o = ResBlock1D(mc, self.dropout, self.dtype, name="output_res0")(
-            o, emb, deterministic, seq_mask
-        )
-        o = SpatialTransformer(**st_kwargs, name="output_attn0")(
-            o, context, deterministic,
-            kv_cache=None if kv_caches is None else kv_caches["output_attn0"],
-            seq_mask=seq_mask,
-            seq_len_real=seq_len_real,
-        )
+        o = res("output_res0", o)
+        o = st("output_attn0", o)
 
         o = jnp.concatenate([o, h0], axis=-1)
-        o = ResBlock1D(mc, self.dropout, self.dtype, name="output_res1")(
-            o, emb, deterministic, seq_mask
-        )
-        o = SpatialTransformer(**st_kwargs, name="output_attn1")(
-            o, context, deterministic,
-            kv_cache=None if kv_caches is None else kv_caches["output_attn1"],
-            seq_mask=seq_mask,
-            seq_len_real=seq_len_real,
-        )
+        o = res("output_res1", o)
+        o = st("output_attn1", o)
 
         o = GroupNorm32(name="out_norm")(o, seq_mask)
         o = jax.nn.silu(o)

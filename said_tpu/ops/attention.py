@@ -69,6 +69,7 @@ def multi_head_attention(
     mask: Optional[jnp.ndarray] = None,
     impl: str = "dense",
     band: Optional[tuple] = None,
+    lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over flat (B, T, H*D) projections.
 
@@ -86,6 +87,10 @@ def multi_head_attention(
         For "banded": ``(idx, valid)`` from
         ``said_tpu.ops.masks.band_gather_indices`` — idx (T, W) int32,
         valid (T, W) bool.
+    lengths : Optional[jnp.ndarray]
+        For "flash": (B,) int32 per-row real key counts
+        (length-bucketed / mixed-length batches) — keys at/after a
+        row's length are masked, padded blocks are skipped.
 
     Returns
     -------
@@ -130,9 +135,11 @@ def multi_head_attention(
         return out.reshape(b, t, inner)
 
     if impl == "flash":
-        from said_tpu.ops.pallas_attention import flash_attention
+        from said_tpu.ops.pallas_attention import flash_attention_flat
 
-        return flash_attention(qh, kh, vh).reshape(b, t, inner)
+        # flat (B, T, H·D) path: on TPU the packed kernel consumes the
+        # projections in their natural layout — no transposes at all
+        return flash_attention_flat(q, k, v, h, lengths=lengths)
 
     # dense
     scores = jnp.einsum("bthd,bshd->bhts", qh, kh) * scale

@@ -1,40 +1,70 @@
 """Pallas TPU attention kernels for the denoiser's self-attention.
 
-Two kernels plus a size-based router (``flash_attention``):
+The reference runs this self-attention dense at unbounded window size
+(``said/model/ldm/attention.py:101-128``, ``said/model/diffusion.py:359-364``);
+these kernels are the TPU-native replacement for long sequences.
 
-- ``_flash_tpu_blocked`` — online-softmax flash attention over a
-  (batch·head, q-block, k-block) grid; float32 running max/denominator/
-  accumulator scratch carries across the sequential key axis, so the
-  (T, S) score matrix never exists outside VMEM. Used for long
-  sequences, and the only viable path once dense scores stop fitting.
-- ``_flash_tpu`` — simpler full-K-in-VMEM variant (kept for reference
-  and mid-length experiments).
+Design notes (hardware-derived):
 
-Measured on v5e with this model's head dim (32), XLA's dense attention
-wins below ~2k frames — the MXU is equally underfilled either way and
-XLA's fusions are free — so the router only engages the kernel beyond
-(2.0 vs 2.7 ms at 3600 frames; 4.2 vs 7.5 ms at 7200).
+- head_dim is 32, so the QK^T contraction fills only 32 of the MXU's 128
+  systolic rows and the PV product only 32 of its 128 output lanes — a
+  hard ~25% MXU ceiling for this model shape (packing heads with zero
+  blocks is a wash: the zeros waste exactly what the packing gains). The
+  kernels therefore optimize the OTHER side: VPU passes over the (T, S)
+  score matrix are minimized —
+    * softmax scale and log2(e) are folded into Q on the host and the
+      kernel uses exp2 (saves a full multiply pass; exp lowers to
+      exp2+mul anyway),
+    * the softmax denominator is computed ON THE MXU by augmenting V
+      with a ones column (saves the sum-reduce pass; the PV matmul's
+      N grows 32→33, same MXU time),
+    * the division happens on the (T, D) output, not the (T, S)
+      probabilities,
+    * key-padding masks are applied only to blocks that straddle a
+      boundary.
+- Runtime lengths (length-bucketed / mixed-length serving): a
+  scalar-prefetched per-row length vector masks straddling key blocks,
+  SKIPS fully-invalid key blocks, and zero-fills fully-padded query
+  blocks — so one compiled program serves every clip length in a bucket
+  at the cost of the REAL frames only.
 
-Sequence lengths are padded to block multiples on the host side; padded
-KEY positions are masked inside the kernels (padded QUERY rows produce
-garbage and are sliced off by the caller). Off-TPU callers get the
-dense path, and the blocked kernel is CI-tested on CPU via interpret
-mode.
+Two kernels behind a size-based router (``flash_attention``):
+
+- ``_flash_tpu_fullk`` — whole key axis in VMEM per grid step. Fastest
+  up to mid lengths (scores block (block_q, S) must fit VMEM).
+- ``_flash_tpu_blocked`` — online-softmax over a (batch·head, q, k)
+  grid; float32 running max / ones-augmented accumulator scratch carry
+  across the sequential key axis, so the (T, S) score matrix never
+  exists outside VMEM. The only viable path once dense scores stop
+  fitting (>= ~10k frames).
+
+Measured on v5e, XLA's dense attention wins below ~2k frames (the MXU
+is equally underfilled either way and XLA's fusions are free), so the
+router only engages the kernels beyond that. Off-TPU callers get the
+dense path; both kernels are CI-tested on CPU via interpret mode.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+_LOG2E = math.log2(math.e)
 
-def _dense_reference(q, k, v):
+
+def _dense_reference(q, k, v, lengths=None):
+    """(B, T, H, D) reference path; ``lengths`` (B,) masks padded keys."""
     d = q.shape[-1]
     scale = d**-0.5
     scores = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+    if lengths is not None:
+        col = jnp.arange(k.shape[1])
+        keymask = col[None, :] < jnp.asarray(lengths, jnp.int32)[:, None]
+        scores = jnp.where(keymask[:, None, None, :], scores, -jnp.inf)
     attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhts,bshd->bthd", attn, v)
 
@@ -43,197 +73,503 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
-def _flash_tpu(q, k, v, block_q: int = 256):
-    """q (B, T, H, D), k/v (B, S, H, D) → (B, T, H, D)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def _flatten_heads(q, k, v):
+    """(B, T, H, D) → (B·H, T, D) with scale·log2e folded into q."""
     b, t, h, d = q.shape
     s = k.shape[1]
-    scale = d**-0.5
-
-    t_pad = _round_up(t, block_q)
-    s_pad = _round_up(s, 128)
-
-    # (B, T, H, D) → (B*H, T, D)
     qf = jnp.moveaxis(q, 2, 1).reshape(b * h, t, d)
     kf = jnp.moveaxis(k, 2, 1).reshape(b * h, s, d)
     vf = jnp.moveaxis(v, 2, 1).reshape(b * h, s, d)
+    qf = qf * jnp.asarray(d**-0.5 * _LOG2E, qf.dtype)
+    return qf, kf, vf
 
-    if t_pad > t:
-        qf = jnp.pad(qf, ((0, 0), (0, t_pad - t), (0, 0)))
+
+def _augment_v(vf, s_pad):
+    """Pad keys axis to s_pad and append a ones column (denominator lane).
+
+    Padded key rows get a ZERO in the ones column so they contribute
+    nothing to the denominator even when unmasked — but masking is still
+    required for correctness of the max/exp, so straddling blocks mask.
+    """
+    bh, s, d = vf.shape
+    ones = jnp.ones((bh, s, 1), vf.dtype)
+    va = jnp.concatenate([vf, ones], axis=-1)
     if s_pad > s:
-        kf = jnp.pad(kf, ((0, 0), (0, s_pad - s), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, s_pad - s), (0, 0)))
-
-    num_q_blocks = t_pad // block_q
-
-    def kernel(q_ref, k_ref, v_ref, o_ref):
-        qb = q_ref[0]  # (block_q, d)
-        kb = k_ref[0]  # (s_pad, d)
-        vb = v_ref[0]
-        scores = (
-            jax.lax.dot_general(
-                qb,
-                kb,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
-        )
-        if s_pad > s:  # mask padded key positions
-            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(col < s, scores, -jnp.inf)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        attn = (p / denom).astype(vb.dtype)
-        o_ref[0] = jnp.dot(attn, vb, preferred_element_type=jnp.float32).astype(
-            o_ref.dtype
-        )
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(b * h, num_q_blocks),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((1, s_pad, d), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((1, s_pad, d), lambda bh, i: (bh, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1024 * 1024 * 96),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * (b * h) * t_pad * s_pad * d,
-            bytes_accessed=(b * h) * (t_pad * d * 2 + s_pad * d * 2 * num_q_blocks) * q.dtype.itemsize,
-            transcendentals=(b * h) * t_pad * s_pad,
-        ),
-    )(qf, kf, vf)
-
-    out = out[:, :t].reshape(b, h, t, d)
-    return jnp.moveaxis(out, 1, 2)
+        va = jnp.pad(va, ((0, 0), (0, s_pad - s), (0, 0)))
+    return va
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _flash_tpu_blocked(q, k, v, block_q: int = 512, block_k: int = 1024,
-                       interpret: bool = False):
-    """Online-softmax flash attention: q (B,T,H,D), k/v (B,S,H,D).
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "has_lens", "interpret")
+)
+def _flash_tpu_fullk(q, k, v, lens_bh=None, block_q: int = 256,
+                     has_lens: bool = False, interpret: bool = False):
+    """q (B, T, H, D), k/v (B, S, H, D) → (B, T, H, D); whole K in VMEM.
 
-    Grid (B·H, q_blocks, k_blocks) with the key axis innermost — TPU grid
-    steps run sequentially per core, so float32 running-max/denominator/
-    accumulator scratch carries across key blocks and the (T, S) score
-    matrix never exists outside VMEM. This is the long-sequence path;
-    short sequences route to XLA dense (see ``flash_attention``).
+    ``lens_bh`` (B·H,) int32 per-row real key counts (scalar-prefetched)
+    when ``has_lens``; queries at/after their row's length are zero-filled
+    without computing.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, t, h, d = q.shape
     s = k.shape[1]
-    scale = d**-0.5
 
     t_pad = _round_up(t, block_q)
-    s_pad = _round_up(s, block_k)
+    s_pad = _round_up(s, 128)
 
-    qf = jnp.moveaxis(q, 2, 1).reshape(b * h, t, d)
-    kf = jnp.moveaxis(k, 2, 1).reshape(b * h, s, d)
-    vf = jnp.moveaxis(v, 2, 1).reshape(b * h, s, d)
+    qf, kf, vf = _flatten_heads(q, k, v)
+    va = _augment_v(vf, s_pad)
     if t_pad > t:
         qf = jnp.pad(qf, ((0, 0), (0, t_pad - t), (0, 0)))
     if s_pad > s:
         kf = jnp.pad(kf, ((0, 0), (0, s_pad - s), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    num_q = t_pad // block_q
+    static_mask = s_pad > s  # padded key tail exists even without lens
+
+    def body(lens_ref, q_ref, k_ref, v_ref, o_ref):
+        qb = q_ref[0]  # (block_q, d), pre-scaled by scale·log2e
+        kb = k_ref[0]  # (s_pad, d)
+        vb = v_ref[0]  # (s_pad, d+1) ones-augmented
+
+        def compute(row_len):
+            s2 = jax.lax.dot_general(
+                qb, kb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if has_lens or static_mask:
+                col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+                s2 = jnp.where(col < row_len, s2, -jnp.inf)
+            m = jnp.max(s2, axis=-1, keepdims=True)
+            p = jnp.exp2(s2 - m)
+            acc = jax.lax.dot_general(
+                p.astype(vb.dtype), vb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0] = (acc[:, :d] / acc[:, d:d + 1]).astype(o_ref.dtype)
+
+        if has_lens:
+            row_len = lens_ref[pl.program_id(0)]
+            q_start = pl.program_id(1) * block_q
+
+            @pl.when(q_start < row_len)
+            def _():
+                compute(row_len)
+
+            @pl.when(q_start >= row_len)
+            def _():
+                o_ref[0] = jnp.zeros_like(o_ref[0])
+        else:
+            compute(s)
+
+    grid = (b * h, num_q)
+    tensor_in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
+        pl.BlockSpec((1, s_pad, d), lambda bh, qi, *_: (bh, 0, 0)),
+        pl.BlockSpec((1, s_pad, d + 1), lambda bh, qi, *_: (bh, 0, 0)),
+    ]
+    out_spec = pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0))
+    cost = pl.CostEstimate(
+        flops=2 * 2 * (b * h) * t_pad * s_pad * d,
+        bytes_accessed=(b * h)
+        * (t_pad * d * 2 + s_pad * d * 2 * num_q)
+        * q.dtype.itemsize,
+        transcendentals=(b * h) * t_pad * s_pad,
+    )
+
+    if has_lens:
+        kernel = body
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=tensor_in_specs,
+            out_specs=out_spec,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(jnp.asarray(lens_bh, jnp.int32), qf, kf, va)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            body(None, q_ref, k_ref, v_ref, o_ref)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=tensor_in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(1024 * 1024 * 100),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qf, kf, va)
+
+    out = out[:, :t].reshape(b, h, t, d)
+    return jnp.moveaxis(out, 1, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_k", "has_lens", "interpret"),
+)
+def _flash_tpu_blocked(q, k, v, lens_bh=None, block_q: int = 512,
+                       block_k: int = 1024, has_lens: bool = False,
+                       interpret: bool = False):
+    """Online-softmax flash attention: q (B,T,H,D), k/v (B,S,H,D).
+
+    Grid (B·H, q_blocks, k_blocks) with the key axis innermost — TPU grid
+    steps run sequentially per core, so the float32 running-max and the
+    ones-augmented accumulator scratch carry across key blocks and the
+    (T, S) score matrix never exists outside VMEM. This is the
+    long-sequence path; short sequences route to XLA dense and mid
+    lengths to ``_flash_tpu_fullk`` (see ``flash_attention``).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, h, d = q.shape
+    s = k.shape[1]
+
+    t_pad = _round_up(t, block_q)
+    s_pad = _round_up(s, block_k)
+
+    qf, kf, vf = _flatten_heads(q, k, v)
+    va = _augment_v(vf, s_pad)
+    if t_pad > t:
+        qf = jnp.pad(qf, ((0, 0), (0, t_pad - t), (0, 0)))
+    if s_pad > s:
+        kf = jnp.pad(kf, ((0, 0), (0, s_pad - s), (0, 0)))
 
     num_q = t_pad // block_q
     num_k = s_pad // block_k
+    last_k = num_k - 1
+    static_tail = s_pad > s  # last key block straddles the static end
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+    def body(lens_ref, q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr):
         ki = pl.program_id(2)
 
         @pl.when(ki == 0)
         def _init():
             m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-            l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        qb = q_ref[0]
-        kb = k_ref[0]
-        vb = v_ref[0]
-        scores = (
-            jax.lax.dot_general(
+        if has_lens:
+            row_len = lens_ref[pl.program_id(0)]
+            q_start = pl.program_id(1) * block_q
+            # skip key blocks with no valid columns, and whole padded
+            # query blocks (their output is zero-filled at finalize)
+            run = jnp.logical_and(q_start < row_len, ki * block_k < row_len)
+        else:
+            row_len = s
+            run = True
+
+        @pl.when(run)
+        def _update():
+            qb = q_ref[0]
+            kb = k_ref[0]
+            vb = v_ref[0]
+            s2 = jax.lax.dot_general(
                 qb, kb,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            * scale
-        )
-        if s_pad > s:  # mask padded keys (only the last block has any)
-            col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(col < s, scores, -jnp.inf)
+            if has_lens:
+                col = ki * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s2.shape, 1
+                )
+                s2 = jnp.where(col < row_len, s2, -jnp.inf)
+            elif static_tail:
+                # only the last key block straddles the static end; the
+                # predicate folds to all-True on earlier blocks
+                col = ki * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s2.shape, 1
+                )
+                s2 = jnp.where(
+                    jnp.logical_or(ki != last_k, col < s), s2, -jnp.inf
+                )
+            m_prev = m_scr[...]
+            m_new = jnp.maximum(m_prev, s2.max(axis=-1, keepdims=True))
+            p = jnp.exp2(s2 - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
+            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+                p.astype(vb.dtype), vb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[...] = m_new
 
-        m_prev = m_scr[...]
-        m_new = jnp.maximum(m_prev, scores.max(axis=-1, keepdims=True))
-        p = jnp.exp(scores - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_scr[...] = l_scr[...] * alpha + p.sum(axis=-1, keepdims=True)
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-            p.astype(vb.dtype), vb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[...] = m_new
-
-        @pl.when(ki == num_k - 1)
+        @pl.when(ki == last_k)
         def _finalize():
-            o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
+            acc = acc_scr[...]
+            denom = acc[:, d:d + 1]
+            if has_lens:
+                # fully-padded query blocks never ran: denom == 0
+                out = jnp.where(denom > 0, acc[:, :d] / denom, 0.0)
+            else:
+                out = acc[:, :d] / denom
+            o_ref[0] = out.astype(o_ref.dtype)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(b * h, num_q, num_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * (b * h) * t_pad * s_pad * d,
-            bytes_accessed=(b * h) * (t_pad + 2 * s_pad) * d * q.dtype.itemsize,
-            transcendentals=(b * h) * t_pad * s_pad,
-        ),
-        interpret=interpret,
-    )(qf, kf, vf)
+    grid = (b * h, num_q, num_k)
+    tensor_in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, *_: (bh, qi, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, *_: (bh, ki, 0)),
+        pl.BlockSpec((1, block_k, d + 1), lambda bh, qi, ki, *_: (bh, ki, 0)),
+    ]
+    out_spec = pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, *_: (bh, qi, 0))
+    scratch = [
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, d + 1), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    cost = pl.CostEstimate(
+        flops=2 * 2 * (b * h) * t_pad * s_pad * d,
+        bytes_accessed=(b * h) * (t_pad + 2 * s_pad) * d * q.dtype.itemsize,
+        transcendentals=(b * h) * t_pad * s_pad,
+    )
+
+    if has_lens:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=tensor_in_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(jnp.asarray(lens_bh, jnp.int32), qf, kf, va)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr):
+            body(None, q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=tensor_in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qf, kf, va)
 
     out = out[:, :t].reshape(b, h, t, d)
     return jnp.moveaxis(out, 1, 2)
 
 
-def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_q", "has_lens", "interpret"),
+)
+def _flash_tpu_packed(q, k, v, lens_b=None, num_heads: int = 6,
+                      block_q: int = 256, has_lens: bool = False,
+                      interpret: bool = False):
+    """Packed-layout flash attention: q/k/v in the model's NATURAL
+    (B, T, H·D) layout — zero caller-side transposes, H× fewer grid
+    steps; heads are static lane slices inside the kernel.
+
+    This exists because the per-(B·H) layout, while fast standalone, is
+    pathological inside the full UNet program: the (B,T,H,D)→(B·H,T,D)
+    transposes around the pallas_call cost more than the kernel itself
+    in situ. ``lens_b`` is (B,) here (per batch row, not per (b,h)).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, inner = q.shape
+    s = k.shape[1]
+    h = num_heads
+    d = inner // h
+
+    t_pad = _round_up(t, block_q)
+    s_pad = _round_up(s, 128)
+
+    qs = q * jnp.asarray(d**-0.5 * _LOG2E, q.dtype)
+    # per-head ones column: va[:, :, h·(d+1) : h·(d+1)+d] = v_h, then 1
+    ones = jnp.ones((b, s, h, 1), v.dtype)
+    va = jnp.concatenate(
+        [v.reshape(b, s, h, d), ones], axis=-1
+    ).reshape(b, s, h * (d + 1))
+    if t_pad > t:
+        qs = jnp.pad(qs, ((0, 0), (0, t_pad - t), (0, 0)))
+    if s_pad > s:
+        k = jnp.pad(k, ((0, 0), (0, s_pad - s), (0, 0)))
+        va = jnp.pad(va, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    num_q = t_pad // block_q
+    static_mask = s_pad > s
+
+    def body(lens_ref, q_ref, k_ref, v_ref, o_ref):
+        qb = q_ref[0]  # (block_q, h·d), pre-scaled
+        kb = k_ref[0]  # (s_pad, h·d)
+        vb = v_ref[0]  # (s_pad, h·(d+1)) ones-augmented per head
+
+        def compute(row_len):
+            col = None
+            if has_lens or static_mask:
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (qb.shape[0], s_pad), 1
+                )
+            for hh in range(h):
+                s2 = jax.lax.dot_general(
+                    qb[:, hh * d:(hh + 1) * d],
+                    kb[:, hh * d:(hh + 1) * d],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if col is not None:
+                    s2 = jnp.where(col < row_len, s2, -jnp.inf)
+                m = jnp.max(s2, axis=-1, keepdims=True)
+                p = jnp.exp2(s2 - m)
+                acc = jax.lax.dot_general(
+                    p.astype(vb.dtype),
+                    vb[:, hh * (d + 1):(hh + 1) * (d + 1)],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[0, :, hh * d:(hh + 1) * d] = (
+                    acc[:, :d] / acc[:, d:d + 1]
+                ).astype(o_ref.dtype)
+
+        if has_lens:
+            row_len = lens_ref[pl.program_id(0)]
+            q_start = pl.program_id(1) * block_q
+
+            @pl.when(q_start < row_len)
+            def _():
+                compute(row_len)
+
+            @pl.when(q_start >= row_len)
+            def _():
+                o_ref[0] = jnp.zeros_like(o_ref[0])
+        else:
+            compute(s)
+
+    grid = (b, num_q)
+    tensor_in_specs = [
+        pl.BlockSpec((1, block_q, inner), lambda bi, qi, *_: (bi, qi, 0)),
+        pl.BlockSpec((1, s_pad, inner), lambda bi, qi, *_: (bi, 0, 0)),
+        pl.BlockSpec((1, s_pad, h * (d + 1)), lambda bi, qi, *_: (bi, 0, 0)),
+    ]
+    out_spec = pl.BlockSpec((1, block_q, inner), lambda bi, qi, *_: (bi, qi, 0))
+    cost = pl.CostEstimate(
+        flops=2 * 2 * b * h * t_pad * s_pad * d,
+        bytes_accessed=b * (t_pad + 2 * s_pad * num_q) * inner * q.dtype.itemsize,
+        transcendentals=b * h * t_pad * s_pad,
+    )
+
+    if has_lens:
+        out = pl.pallas_call(
+            body,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=tensor_in_specs,
+                out_specs=out_spec,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, t_pad, inner), q.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(jnp.asarray(lens_b, jnp.int32), qs, k, va)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            body(None, q_ref, k_ref, v_ref, o_ref)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=tensor_in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, t_pad, inner), q.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qs, k, va)
+
+    return out[:, :t]
+
+
+# Crossovers measured on v5e (head dim 32, bf16): below ~2k frames XLA
+# dense wins (free fusions, equally-underfilled MXU); fullk wins from
+# there (0.47 ms at 3600 vs 1.40 dense / 0.69 blocked; 7.2 ms at 14400
+# vs 9.6 blocked — 22% MFU, ~87% of the head-dim-32 ceiling) until its
+# (block_q, S) score block overruns VMEM; blocked beyond.
+_DENSE_MAX = 2048
+_FULLK_MAX = 14400
+
+
+def flash_attention_flat(q, k, v, num_heads: int, lengths=None):
+    """Flash attention over FLAT (B, T, H·D) projections — the model's
+    natural layout. On TPU this is the production path (packed kernel,
+    no transposes); elsewhere, and for short sequences, dense."""
+    b, t, inner = q.shape
+    h = num_heads
+    if (
+        jax.default_backend() != "tpu"
+        or (t <= _DENSE_MAX and k.shape[1] <= _DENSE_MAX)
+    ):
+        d = inner // h
+        out = _dense_reference(
+            q.reshape(b, t, h, d),
+            k.reshape(b, k.shape[1], h, d),
+            v.reshape(b, v.shape[1], h, d),
+            lengths=lengths,
+        )
+        return out.reshape(b, t, inner)
+    if k.shape[1] <= _FULLK_MAX:
+        return _flash_tpu_packed(
+            q, k, v, lengths, num_heads=h, has_lens=lengths is not None
+        )
+    # very long sequences: online-softmax blocked kernel (per-head layout)
+    d = inner // h
+    lens_bh = None
+    if lengths is not None:
+        lens_bh = jnp.repeat(jnp.asarray(lengths, jnp.int32), h)
+    out = _flash_tpu_blocked(
+        q.reshape(b, t, h, d),
+        k.reshape(b, k.shape[1], h, d),
+        v.reshape(b, v.shape[1], h, d),
+        lens_bh,
+        has_lens=lengths is not None,
+    )
+    return out.reshape(b, t, inner)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    lengths=None) -> jnp.ndarray:
     """Attention over (B, T, H, D) tensors; Pallas on TPU, dense elsewhere.
 
-    Short sequences route to the XLA dense path even on TPU — measured
-    crossover on v5e: below ~1k frames the fused dense einsums beat the
-    kernel (whose win is keeping the (T, S) scores out of HBM, which
-    only matters once they stop fitting in cache-friendly sizes).
+    ``lengths`` (B,) int32 — per-row REAL key/query counts for
+    length-bucketed / mixed-length batches. Rows are masked to their own
+    length (matching the dense masked path exactly on real frames;
+    padded query rows return zeros) and the kernels skip fully-padded
+    blocks, so the padded tail costs ~nothing.
     """
+    h = q.shape[2]
     if jax.default_backend() != "tpu":
-        return _dense_reference(q, k, v)
-    # Measured on v5e (head dim 32, blocks 512×1024): the kernel beats
-    # XLA dense from ~2k frames (2.0 vs 2.7 ms at 3600; 4.2 vs 7.5 ms at
-    # 7200) and is the only viable path once dense scores stop fitting
-    # (≥ ~10k frames). Below that, dense's fusions win.
-    if q.shape[1] <= 2048 and k.shape[1] <= 2048:
-        return _dense_reference(q, k, v)
-    return _flash_tpu_blocked(q, k, v)
+        return _dense_reference(q, k, v, lengths=lengths)
+    if q.shape[1] <= _DENSE_MAX and k.shape[1] <= _DENSE_MAX:
+        return _dense_reference(q, k, v, lengths=lengths)
+    lens_bh = None
+    has_lens = lengths is not None
+    if has_lens:
+        lens_bh = jnp.repeat(jnp.asarray(lengths, jnp.int32), h)
+    if k.shape[1] <= _FULLK_MAX:
+        return _flash_tpu_fullk(q, k, v, lens_bh, has_lens=has_lens)
+    return _flash_tpu_blocked(q, k, v, lens_bh, has_lens=has_lens)

@@ -301,6 +301,8 @@ def make_eval_step(model: SAID, schedule: DiffusionSchedule, config: TrainConfig
             batch.get("blendshape_delta"),
             config,
             train=False,
+            window_real=batch.get("window_real"),
+            input_length=batch.get("input_length"),
         )
         return metrics
 

@@ -92,15 +92,43 @@ def fit_audio_unet(
 
 
 def compute_audio_beat_time(waveform: np.ndarray, sampling_rate: int) -> np.ndarray:
-    """Audio onset times in seconds (librosa-free onset detector).
+    """Audio onset times in seconds — librosa-exact, librosa-free.
 
-    Implements the standard spectral-flux onset pipeline librosa's
-    ``onset_detect`` defaults to: mel-spectrogram (128 bands, n_fft 2048,
-    hop 512) → log power → positive first difference averaged over bands
-    (onset envelope) → librosa-style adaptive peak picking.
+    Reproduces ``librosa.onset.onset_detect(y, sr, units="time")``
+    (the reference's call, ``said/util/audio.py:79-96``) step for step
+    from librosa 0.10's documented semantics:
+
+    1. onset envelope: mel spectrogram (128 bands, n_fft 2048, hop 512,
+       center-padded, power 2) → ``power_to_db`` (ref=1, top_db=80) →
+       lag-1 positive flux, mean over bands → padded at the START by
+       ``lag + n_fft // (2·hop)`` frames and truncated to the frame
+       count (librosa's centering compensation, which aligns reported
+       onsets with the true energy rise).
+    2. the envelope is min-shifted and max-normalized to [0, 1]
+       (``onset_detect(normalize=True)`` default).
+    3. ``peak_pick`` with librosa's time-derived defaults —
+       ``pre_max = 0.03·sr//hop``, ``post_max = 0.00·sr//hop + 1``,
+       ``pre_avg = 0.10·sr//hop``, ``post_avg = 0.10·sr//hop + 1``,
+       ``wait = 0.03·sr//hop``, ``delta = 0.07`` — using the same
+       ndimage maximum/uniform filters (constant/-inf and nearest edge
+       modes, ceil-origin) librosa uses.
+    4. frame indices → seconds via ``frames·hop/sr``.
     """
     env, hop = onset_strength(waveform, sampling_rate)
-    peaks = _peak_pick(env)
+    if not env.any():
+        return np.array([], dtype=np.float64)
+    env = env - env.min()
+    env = env / (env.max() + np.finfo(np.float32).tiny)
+    sr, h = sampling_rate, hop
+    peaks = _peak_pick(
+        env,
+        pre_max=int(0.03 * sr // h),
+        post_max=int(0.00 * sr // h) + 1,
+        pre_avg=int(0.10 * sr // h),
+        post_avg=int(0.10 * sr // h) + 1,
+        delta=0.07,
+        wait=int(0.03 * sr // h),
+    )
     return peaks * hop / sampling_rate
 
 
@@ -110,10 +138,12 @@ def onset_strength(
     n_fft: int = 2048,
     hop: int = 512,
     n_mels: int = 128,
+    lag: int = 1,
 ):
-    """Spectral-flux onset envelope over a mel spectrogram."""
+    """Spectral-flux onset envelope (librosa ``onset_strength`` semantics)."""
     x = np.asarray(waveform, dtype=np.float32)
-    # Center-padded STFT with a Hann window (librosa conventions).
+    # Center-padded STFT with a periodic Hann window (librosa stft
+    # defaults: center=True, pad_mode="constant").
     pad = n_fft // 2
     xp = np.pad(x, pad, mode="constant")
     win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
@@ -123,12 +153,17 @@ def onset_strength(
 
     mel_fb = _mel_filterbank(sampling_rate, n_fft, n_mels)  # (mels, bins)
     mspec = spec @ mel_fb.T  # (frames, mels)
+    # power_to_db(ref=1.0, amin=1e-10, top_db=80)
     log_m = 10.0 * np.log10(np.maximum(mspec, 1e-10))
     log_m = np.maximum(log_m, log_m.max() - 80.0)
 
-    # lag-1 positive flux, mean over mel bands
-    diff = np.maximum(0.0, log_m[1:] - log_m[:-1])
-    env = np.concatenate([[0.0], diff.mean(axis=1)])
+    # positive lag-difference flux, mean over mel bands
+    diff = np.maximum(0.0, log_m[lag:] - log_m[:-lag])
+    env = diff.mean(axis=1)
+    # librosa's alignment: pad lag + n_fft//(2·hop) frames of zeros at
+    # the start, truncate to the spectrogram frame count
+    pad_width = lag + n_fft // (2 * hop)
+    env = np.pad(env, (pad_width, 0), mode="constant")[:n_frames]
     return env.astype(np.float32), hop
 
 
@@ -176,37 +211,43 @@ def _mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
 
 def _peak_pick(
     env: np.ndarray,
-    pre_max: int = 3,
-    post_max: int = 4,
-    pre_avg: int = 3,
-    post_avg: int = 4,
-    delta: float = 0.07,
-    wait: int = 3,
+    pre_max: int,
+    post_max: int,
+    pre_avg: int,
+    post_avg: int,
+    delta: float,
+    wait: int,
 ) -> np.ndarray:
-    """librosa-style adaptive peak picking on an onset envelope.
+    """librosa ``util.peak_pick``: ndimage moving max/mean + greedy wait.
 
-    A frame is an onset if it is the local max of [i-pre_max, i+post_max),
-    exceeds the local mean of [i-pre_avg, i+post_avg) by ``delta`` (an
-    absolute threshold on the raw envelope, librosa's default behavior),
-    and is at least ``wait`` frames after the previous onset.
+    A frame is an onset if it equals the moving max over
+    ``pre_max + post_max`` frames (constant/-inf edges, ceil-centered
+    origin), is ≥ the moving mean over ``pre_avg + post_avg`` frames
+    (nearest edges) plus ``delta``, and follows the previous onset by
+    more than ``wait`` frames.
     """
+    from scipy import ndimage
+
     if env.size == 0:
         return np.array([], dtype=np.int64)
-    env = env.astype(np.float64)
-    # librosa normalizes delta against the envelope implicitly via its
-    # onset_detect wrapper: delta is absolute on the raw envelope there.
-    n = len(env)
+    x = env.astype(np.float64)
+
+    max_length = max(pre_max + post_max, 1)
+    max_origin = int(np.ceil(0.5 * (pre_max - post_max)))
+    mov_max = ndimage.maximum_filter1d(
+        x, max_length, origin=max_origin, mode="constant", cval=-np.inf
+    )
+    avg_length = max(pre_avg + post_avg, 1)
+    avg_origin = int(np.ceil(0.5 * (pre_avg - post_avg)))
+    mov_avg = ndimage.uniform_filter1d(
+        x, avg_length, origin=avg_origin, mode="nearest"
+    )
+
+    detections = (x == mov_max) & (x >= mov_avg + delta)
     peaks = []
     last = -np.inf
-    for i in range(n):
-        lo_m, hi_m = max(0, i - pre_max), min(n, i + post_max)
-        if env[i] != env[lo_m:hi_m].max():
-            continue
-        lo_a, hi_a = max(0, i - pre_avg), min(n, i + post_avg)
-        if env[i] < env[lo_a:hi_a].mean() + delta:
-            continue
-        if i - last < wait:
-            continue
-        peaks.append(i)
-        last = i
+    for i in np.nonzero(detections)[0]:
+        if i > last + wait:
+            peaks.append(i)
+            last = i
     return np.asarray(peaks, dtype=np.int64)

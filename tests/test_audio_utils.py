@@ -71,3 +71,82 @@ def test_onset_detection_finds_clicks():
     assert len(onsets) >= len(click_times)
     for ct in click_times:
         assert np.min(np.abs(onsets - ct)) < 0.08, (ct, onsets)
+
+
+def test_onset_envelope_alignment_and_normalized_delta():
+    """librosa-exact details: the envelope's centering pad aligns onset
+    frames with the true energy rise (not 2 frames late), the envelope is
+    max-normalized before the delta threshold (quiet audio still yields
+    onsets), and empty audio yields none."""
+    from said_tpu.utils.audio import onset_strength
+
+    sr = 16000
+    wave = np.zeros(sr, dtype=np.float32)
+    i0 = int(0.5 * sr)
+    wave[i0:] = 0.9  # a single hard energy step at exactly 0.5 s
+
+    env, hop = onset_strength(wave, sr)
+    # envelope frame count == spectrogram frame count
+    assert len(env) == 1 + len(wave) // hop
+    # the flux peak must sit at the step time within the STFT window's
+    # intrinsic smear (librosa pads the envelope start by
+    # lag + n_fft//(2*hop) to compensate the centered STFT; without that
+    # compensation the peak would land ~3 frames = 96 ms late)
+    peak_t = np.argmax(env) * hop / sr
+    assert abs(peak_t - 0.5) <= 2 * hop / sr, peak_t
+
+    # a 1000x quieter copy must give the same onsets (delta applies to
+    # the min-shifted, max-normalized envelope)
+    loud = compute_audio_beat_time(wave, sr)
+    quiet = compute_audio_beat_time(wave * 1e-3, sr)
+    np.testing.assert_allclose(loud, quiet)
+    assert len(loud) >= 1 and abs(loud[0] - 0.5) <= 2 * hop / sr
+
+    assert compute_audio_beat_time(np.zeros(sr, np.float32), sr).size == 0
+
+
+def test_peak_pick_matches_loop_oracle():
+    """The ndimage-filter peak picker must equal a literal transcription
+    of librosa's peak_pick definition (moving max with -inf edges and
+    ceil-centered origin, moving mean with nearest edges, greedy wait)."""
+    from said_tpu.utils.audio import _peak_pick
+
+    rng = np.random.default_rng(3)
+    env = np.abs(rng.standard_normal(200)).astype(np.float64)
+    env[::17] += 2.0
+    pre_max, post_max, pre_avg, post_avg, delta, wait = 0, 1, 3, 4, 0.07, 0
+
+    def oracle(x):
+        n = len(x)
+        peaks, last = [], -np.inf
+        for i in range(n):
+            # moving max window [i - pre_max - ..]: ndimage window of
+            # size L=pre_max+post_max with origin ceil((pre_max-post_max)/2)
+            # covers indices [i - pre_max, i + post_max - 1]
+            lo = i - pre_max
+            hi = i + post_max
+            seg = x[max(0, lo):min(n, hi)]
+            mx = seg.max() if seg.size else -np.inf
+            if x[i] != mx:
+                continue
+            lo_a, hi_a = i - pre_avg, i + post_avg
+            idx = np.clip(np.arange(lo_a, hi_a), 0, n - 1)  # nearest edges
+            if x[i] < x[idx].mean() + delta:
+                continue
+            if not i > last + wait:
+                continue
+            peaks.append(i)
+            last = i
+        return np.asarray(peaks, dtype=np.int64)
+
+    got = _peak_pick(env, pre_max, post_max, pre_avg, post_avg, delta, wait)
+    np.testing.assert_array_equal(got, oracle(env))
+
+    # and with the sr=22050-derived defaults librosa would use
+    pre_max = post_max = int(0.03 * 22050 // 512)
+    post_max += 1
+    pre_avg = int(0.10 * 22050 // 512)
+    post_avg = pre_avg + 1
+    wait = int(0.03 * 22050 // 512)
+    got = _peak_pick(env, pre_max, post_max, pre_avg, post_avg, delta, wait)
+    np.testing.assert_array_equal(got, oracle(env))

@@ -71,35 +71,15 @@ def main() -> None:
 
     variants["xla_dense"] = pa._dense_reference
 
-    for bq, bk in [(256, 512), (512, 512), (512, 1024), (512, 2048), (1024, 1024), (1024, 2048)]:
+    for bq, bk in [(512, 1024), (512, 2048), (1024, 1024)]:
         variants[f"blocked_{bq}x{bk}"] = (
             lambda q, k, v, bq=bq, bk=bk: pa._flash_tpu_blocked(q, k, v, block_q=bq, block_k=bk)
         )
 
-    for bq in [256, 512]:
-        variants[f"fullk_q{bq}"] = lambda q, k, v, bq=bq: pa._flash_tpu(q, k, v, block_q=bq)
-
-    # Stock JAX Pallas TPU flash attention (layout (B, H, T, D)).
-    try:
-        from jax.experimental.pallas.ops.tpu import flash_attention as stock
-
-        def stock_flash(q, k, v, bq=512, bk=512):
-            qt = jnp.moveaxis(q, 2, 1)  # (B, H, T, D)
-            kt = jnp.moveaxis(k, 2, 1)
-            vt = jnp.moveaxis(v, 2, 1)
-            bs = stock.BlockSizes(
-                block_q=min(bq, qt.shape[2]),
-                block_k_major=min(bk, kt.shape[2]),
-                block_k=min(bk, kt.shape[2]),
-                block_b=1,
-            )
-            o = stock.flash_attention(qt, kt, vt, causal=False, sm_scale=d**-0.5, block_sizes=bs)
-            return jnp.moveaxis(o, 1, 2)
-
-        variants["stock_flash_512"] = stock_flash
-        variants["stock_flash_1024"] = lambda q, k, v: stock_flash(q, k, v, bq=1024, bk=1024)
-    except Exception as e:  # pragma: no cover
-        print(f"# stock flash unavailable: {e!r}")
+    for bq in [128, 256, 512]:
+        variants[f"fullk_q{bq}"] = (
+            lambda q, k, v, bq=bq: pa._flash_tpu_fullk(q, k, v, block_q=bq)
+        )
 
     print(f"# backend={jax.default_backend()} B={b} H={h} D={d} dtype=bf16 iters={args.iters}")
     header = f"{'variant':>18} " + " ".join(f"{t:>10}" for t in lengths)
