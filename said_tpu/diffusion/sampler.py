@@ -108,7 +108,11 @@ def sample(
         noise = jax.random.normal(init_rng, latents.shape, latents.dtype)
         latents = schedule.add_noise(latents, noise, t0)
 
-    if cfg.do_cfg:
+    if audio_embedding is None:
+        # Conditioning folded into the caller's denoise_fn (pre-gathered
+        # K/V caches); no context tensor flows through the scan.
+        context = None
+    elif cfg.do_cfg:
         if uncond_embedding is None:
             raise ValueError("CFG requires an unconditional embedding")
         context = jnp.concatenate([uncond_embedding, audio_embedding], axis=0)

@@ -184,14 +184,44 @@ class SAIDPipeline:
     def _compiled(self, key, config: SamplerConfig, window_size: int,
                   use_init: bool, use_mask: bool, save_intermediate: bool,
                   dynamic: bool = False):
+        """Two device programs per shape key:
+
+        1. ``prepare`` — audio encoder, null embedding, the banded K/V
+           gathers, and the timestep-MLP table (everything loop-invariant).
+        2. ``denoise`` — the 1000-step scan, taking the K/V caches as
+           PROGRAM INPUTS.
+
+        Split on purpose: when the caches are intermediates of the same
+        program, XLA assigns them a layout that costs ~2 ms/step extra in
+        the banded attention (measured at T=3600: 7.0 vs 4.8 ms/step);
+        as program inputs they get the canonical layout. The extra
+        dispatch costs one tunnel round-trip, amortized over the chain.
+        """
         if key in self._jit_cache:
             return self._jit_cache[key]
 
         model = self.model
         schedule = self.schedule
 
-        def run(params, rng, waveform, latents, init_samples, mask,
-                input_length, window_real):
+        from said_tpu.models.unet1d import (
+            UNet1DConditionModel,
+            build_kv_caches,
+            time_embed_table,
+        )
+
+        # SAID builds its denoiser with the UNet defaults (192 ch / 32
+        # per head); setup()-bound submodules aren't readable here.
+        mc = UNet1DConditionModel.model_channels
+        heads = mc // UNet1DConditionModel.num_head_channels
+
+        def _denoise_len(window_real):
+            # Per-row lengths (mixed-length batches) must be tiled for
+            # the CFG-doubled batch.
+            if dynamic and config.do_cfg and window_real.ndim == 1:
+                return jnp.concatenate([window_real, window_real])
+            return window_real
+
+        def prepare(params, waveform, input_length, window_real):
             audio_emb = model.apply(
                 {"params": params},
                 waveform,
@@ -208,40 +238,27 @@ class SAIDPipeline:
                     audio_emb.shape[1],
                     method=SAID.null_embedding,
                 )
-
-            # Hoist everything loop-invariant out of the 1000-step scan:
-            # context K/V (+ banded gathers) and the timestep-MLP table.
-            from said_tpu.models.unet1d import (
-                UNet1DConditionModel,
-                build_kv_caches,
-                time_embed_table,
-            )
-
             full_context = (
                 jnp.concatenate([uncond, audio_emb], axis=0)
                 if config.do_cfg
                 else audio_emb
             )
-            # SAID builds its denoiser with the UNet defaults (192 ch / 32
-            # per head); setup()-bound submodules aren't readable here.
-            mc = UNet1DConditionModel.model_channels
-            heads = mc // UNet1DConditionModel.num_head_channels
-            # Per-row lengths (mixed-length batches) must be tiled for the
-            # CFG-doubled batch.
-            denoise_len = window_real
-            if dynamic and config.do_cfg and window_real.ndim == 1:
-                denoise_len = jnp.concatenate([window_real, window_real])
             kv_caches = build_kv_caches(
                 params["denoiser"],
                 full_context,
                 window_size,
                 num_heads=heads,
                 dtype=model.dtype,
-                seq_len_real=denoise_len if dynamic else None,
+                seq_len_real=_denoise_len(window_real) if dynamic else None,
             )
             emb_table = time_embed_table(
                 params["denoiser"], np.arange(model.diffusion_steps), mc
             )
+            return kv_caches, emb_table
+
+        def denoise(params, rng, latents, kv_caches, emb_table,
+                    init_samples, mask, window_real):
+            dlen = _denoise_len(window_real) if dynamic else None
 
             def denoise_fn(x, t, ctx):
                 del ctx  # folded into kv_caches
@@ -253,27 +270,26 @@ class SAIDPipeline:
                     deterministic=True,
                     kv_caches=kv_caches,
                     emb=emb_table[t],
-                    seq_len_real=denoise_len if dynamic else None,
+                    seq_len_real=dlen,
                 )
 
-            result, interms = sample(
+            return sample(
                 schedule,
                 denoise_fn,
                 rng,
                 latents,
-                audio_emb,
-                uncond,
+                None,
+                None,
                 config,
                 init_samples=init_samples if use_init else None,
                 mask=mask if use_mask else None,
                 latent_scale=model.latent_scale,
                 save_intermediate=save_intermediate,
             )
-            return result, interms
 
-        fn = jax.jit(run)
-        self._jit_cache[key] = fn
-        return fn
+        fns = (jax.jit(prepare), jax.jit(denoise))
+        self._jit_cache[key] = fns
+        return fns
 
     def inference(
         self,
@@ -366,7 +382,7 @@ class SAIDPipeline:
         use_init = init_samples is not None
         use_mask = use_init and mask is not None
         key = (b, t_a, window_size, config, use_init, use_mask, save_intermediate, dynamic)
-        fn = self._compiled(
+        prep_fn, denoise_fn = self._compiled(
             key, config, window_size, use_init, use_mask, save_intermediate, dynamic
         )
 
@@ -381,16 +397,24 @@ class SAIDPipeline:
             else jnp.zeros((b, window_size, c), jnp.float32)
         )
 
-        result, interms = fn(
+        # length args may be scalars or (B,) vectors
+        window_real_arg = jnp.asarray(window_real, jnp.int32)
+        kv_caches, emb_table = prep_fn(
+            self.params,
+            waveform_processed,
+            jnp.asarray(t_a_real, jnp.int32),
+            window_real_arg,
+        )
+        result, interms = denoise_fn(
             self.params,
             rng,
-            waveform_processed,
             latents,
+            kv_caches,
+            emb_table,
             init_arg,
             mask_arg,
-            jnp.asarray(t_a_real, jnp.int32),
-            jnp.asarray(window_real, jnp.int32),
-        )  # length args may be scalars or (B,) vectors
+            window_real_arg,
+        )
         return SAIDInferenceOutput(
             result=np.asarray(result),
             intermediates=np.asarray(interms) if save_intermediate else None,

@@ -517,9 +517,21 @@ _FULLK_MAX = 14400
 def flash_attention_flat(q, k, v, num_heads: int, lengths=None):
     """Flash attention over FLAT (B, T, H·D) projections — the model's
     natural layout. On TPU this is the production path (packed kernel,
-    no transposes); elsewhere, and for short sequences, dense."""
+    no transposes); elsewhere, and for short sequences, dense.
+
+    Set ``SAID_FLASH_INTERPRET=1`` to force the packed kernel in Pallas
+    interpret mode regardless of backend/length — CI uses this to drive
+    the REAL kernel code end-to-end through the model on CPU.
+    """
+    import os
+
     b, t, inner = q.shape
     h = num_heads
+    if os.environ.get("SAID_FLASH_INTERPRET"):
+        return _flash_tpu_packed(
+            q, k, v, lengths, num_heads=h, block_q=128,
+            has_lens=lengths is not None, interpret=True,
+        )
     if (
         jax.default_backend() != "tpu"
         or (t <= _DENSE_MAX and k.shape[1] <= _DENSE_MAX)
