@@ -30,6 +30,41 @@ import jax
 import numpy as np
 
 
+def _unet_step_flops(t: int, batch: int = 2) -> float:
+    """Analytic FLOPs of one denoiser forward (CFG-doubled batch).
+
+    Major terms only (matmuls/convs; norms and the W=3 banded
+    cross-attention are negligible). Mirrors
+    ``said_tpu/models/unet1d.py``'s structure: in-conv, 5 ResBlocks
+    (two with 384-channel concat inputs), 4 transformer blocks
+    (self-attention + projections + GEGLU FF + 1x1 proj_out), out-conv.
+    """
+    B, mc, heads, dh = batch, 192, 6, 32
+
+    def conv3(c1, c2):
+        return 2 * B * t * 3 * c1 * c2
+
+    def dense(c1, c2):
+        return 2 * B * t * c1 * c2
+
+    def resblock(c_in):
+        f = conv3(c_in, mc) + conv3(mc, mc)
+        if c_in != mc:
+            f += dense(c_in, mc)  # 1x1 skip
+        return f
+
+    def transformer():
+        attn_proj = 6 * dense(mc, mc)  # self q,k,v,out + cross q,out
+        self_attn = 2 * 2 * B * heads * t * t * dh
+        ff = dense(mc, mc * 8) + dense(mc * 4, mc)  # GEGLU proj + out
+        return attn_proj + self_attn + ff + dense(mc, mc)  # + proj_out
+
+    total = conv3(32, mc) + conv3(mc, 32)
+    total += 3 * resblock(mc) + 2 * resblock(2 * mc)
+    total += 4 * transformer()
+    return float(total)
+
+
 def main() -> None:
     from said_tpu.cli._common import build_said_model, init_said_params
     from said_tpu.models.said import SAIDPipeline, process_audio
@@ -87,6 +122,14 @@ def main() -> None:
     secs_long = 60.0 if on_tpu else 1.0
     wall = timed(1, secs_long, 2 if on_tpu else 1)
     emit(f"rtf_{num_steps}step_b1_60s", secs_long / wall, "x_realtime")
+    # Model-FLOPs utilization of the denoise chain (analytic FLOPs over
+    # the measured wall; includes the once-per-clip prepare program, so
+    # it slightly UNDERSTATES the scan-region MFU). Peak: v5e bf16.
+    t_frames = int(secs_long * 60)
+    mfu = (
+        _unet_step_flops(t_frames, batch=2) * num_steps / wall / 197e12 * 100
+    )
+    emit("mfu_denoise_60s_pct", mfu, "percent", baseline=100.0)
 
     # 3. Batch 32 at the eval-protocol clip length (~4.27 s).
     b32 = 32 if on_tpu else 2

@@ -514,15 +514,20 @@ _DENSE_MAX = 2048
 _FULLK_MAX = 14400
 
 
-def flash_attention_flat(q, k, v, num_heads: int, lengths=None):
-    """Flash attention over FLAT (B, T, H·D) projections — the model's
-    natural layout. On TPU this is the production path (packed kernel,
-    no transposes); elsewhere, and for short sequences, dense.
+def _dense_flat(q, k, v, num_heads: int, lengths=None):
+    b, t, inner = q.shape
+    d = inner // num_heads
+    out = _dense_reference(
+        q.reshape(b, t, num_heads, d),
+        k.reshape(b, k.shape[1], num_heads, d),
+        v.reshape(b, v.shape[1], num_heads, d),
+        lengths=lengths,
+    )
+    return out.reshape(b, t, inner)
 
-    Set ``SAID_FLASH_INTERPRET=1`` to force the packed kernel in Pallas
-    interpret mode regardless of backend/length — CI uses this to drive
-    the REAL kernel code end-to-end through the model on CPU.
-    """
+
+def _flash_route(q, k, v, num_heads: int, lengths=None):
+    """Size/backend routing for flat (B, T, H·D) attention (fwd only)."""
     import os
 
     b, t, inner = q.shape
@@ -536,14 +541,7 @@ def flash_attention_flat(q, k, v, num_heads: int, lengths=None):
         jax.default_backend() != "tpu"
         or (t <= _DENSE_MAX and k.shape[1] <= _DENSE_MAX)
     ):
-        d = inner // h
-        out = _dense_reference(
-            q.reshape(b, t, h, d),
-            k.reshape(b, k.shape[1], h, d),
-            v.reshape(b, v.shape[1], h, d),
-            lengths=lengths,
-        )
-        return out.reshape(b, t, inner)
+        return _dense_flat(q, k, v, h, lengths)
     if k.shape[1] <= _FULLK_MAX:
         return _flash_tpu_packed(
             q, k, v, lengths, num_heads=h, has_lens=lengths is not None
@@ -561,6 +559,43 @@ def flash_attention_flat(q, k, v, num_heads: int, lengths=None):
         has_lens=lengths is not None,
     )
     return out.reshape(b, t, inner)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_flat(q, k, v, num_heads: int, lengths=None):
+    """Flash attention over FLAT (B, T, H·D) projections — the model's
+    natural layout. On TPU this is the production path (packed kernel,
+    no transposes); elsewhere, and for short sequences, dense.
+
+    Differentiable: the forward runs the routed kernel, the backward
+    recomputes attention densely from the saved q/k/v (no (T, S)
+    residuals stored across the fwd/bwd boundary — pair with
+    ``--gradient_checkpointing`` for long-window training memory).
+
+    Set ``SAID_FLASH_INTERPRET=1`` to force the packed kernel in Pallas
+    interpret mode regardless of backend/length — CI uses this to drive
+    the REAL kernel code end-to-end through the model on CPU.
+    """
+    return _flash_route(q, k, v, num_heads, lengths)
+
+
+def _flash_flat_fwd(q, k, v, num_heads, lengths):
+    return _flash_route(q, k, v, num_heads, lengths), (q, k, v, lengths)
+
+
+def _flash_flat_bwd(num_heads, res, g):
+    q, k, v, lengths = res
+    _, vjp = jax.vjp(lambda a, b_, c: _dense_flat(a, b_, c, num_heads, lengths), q, k, v)
+    dq, dk, dv = vjp(g)
+    ct_len = (
+        None
+        if lengths is None
+        else np.zeros(np.shape(lengths), dtype=jax.dtypes.float0)
+    )
+    return dq, dk, dv, ct_len
+
+
+flash_attention_flat.defvjp(_flash_flat_fwd, _flash_flat_bwd)
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

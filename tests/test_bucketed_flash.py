@@ -60,3 +60,32 @@ def test_mixed_length_bucketed_unet_matches_unpadded(force_flash_interpret):
             atol=2e-4, rtol=1e-3,
         )
     assert np.all(np.isfinite(np.asarray(padded)))
+
+
+def test_flash_grad_matches_dense(force_flash_interpret):
+    """The custom VJP: forward through the packed kernel, backward via
+    dense recompute — gradients must equal the all-dense path."""
+    from said_tpu.ops.pallas_attention import _dense_flat, flash_attention_flat
+
+    b, h, d, t = 2, 2, 32, 192
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+    lengths = jnp.asarray(np.array([192, 130], np.int32))
+
+    def loss_flash(q, k, v):
+        out = flash_attention_flat(q, k, v, h, lengths)
+        # only real frames contribute (padded rows are unspecified)
+        m = (np.arange(t)[None, :, None] < np.asarray(lengths)[:, None, None])
+        return (out * m).sum()
+
+    def loss_dense(q, k, v):
+        out = _dense_flat(q, k, v, h, lengths)
+        m = (np.arange(t)[None, :, None] < np.asarray(lengths)[:, None, None])
+        return (out * m).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3)
