@@ -28,15 +28,19 @@ Design notes (hardware-derived):
   blocks — so one compiled program serves every clip length in a bucket
   at the cost of the REAL frames only.
 
-Two kernels behind a size-based router (``flash_attention``):
+Kernels behind size-based routers. The production entry is
+``flash_attention_flat`` (the model's natural (B, T, H·D) layout):
 
-- ``_flash_tpu_fullk`` — whole key axis in VMEM per grid step. Fastest
-  up to mid lengths (scores block (block_q, S) must fit VMEM).
-- ``_flash_tpu_blocked`` — online-softmax over a (batch·head, q, k)
-  grid; float32 running max / ones-augmented accumulator scratch carry
-  across the sequential key axis, so the (T, S) score matrix never
-  exists outside VMEM. The only viable path once dense scores stop
-  fitting (>= ~10k frames).
+- ``_flash_tpu_packed`` — whole key axis in VMEM per grid step, heads
+  as static lane slices (zero caller-side transposes). Fastest up to
+  mid lengths (scores block (block_q, S) must fit VMEM).
+- ``_flash_tpu_packed_blocked`` — same layout, online-softmax over a
+  (batch, q, k) grid; per-head float32 running-max / ones-augmented
+  accumulator scratch slabs carry across the sequential key axis, so
+  VMEM usage is independent of S. The >4-minute-clip path.
+
+``flash_attention`` routes the secondary (B, T, H, D) API through the
+per-head-layout twins ``_flash_tpu_fullk`` / ``_flash_tpu_blocked``.
 
 Measured on v5e, XLA's dense attention wins below ~2k frames (the MXU
 is equally underfilled either way and XLA's fusions are free), so the
@@ -505,6 +509,178 @@ def _flash_tpu_packed(q, k, v, lens_b=None, num_heads: int = 6,
     return out[:, :t]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_q", "block_k", "has_lens",
+                     "interpret"),
+)
+def _flash_tpu_packed_blocked(q, k, v, lens_b=None, num_heads: int = 6,
+                              block_q: int = 512, block_k: int = 2048,
+                              has_lens: bool = False,
+                              interpret: bool = False):
+    """Online-softmax flash attention in the PACKED (B, T, H·D) layout —
+    the very-long-sequence path (key axis streamed in blocks, so the
+    whole K never has to fit VMEM), with zero caller-side transposes.
+
+    Grid (B, q_blocks, k_blocks), key axis innermost; per-head running
+    max and ones-augmented accumulators live in (H, block_q, ·) scratch
+    slabs that carry across the sequential key steps. ``lens_b`` is
+    (B,) per-row real frame counts.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, inner = q.shape
+    s = k.shape[1]
+    h = num_heads
+    d = inner // h
+
+    t_pad = _round_up(t, block_q)
+    s_pad = _round_up(s, block_k)
+
+    qs = q * jnp.asarray(d**-0.5 * _LOG2E, q.dtype)
+    ones = jnp.ones((b, s, h, 1), v.dtype)
+    va = jnp.concatenate(
+        [v.reshape(b, s, h, d), ones], axis=-1
+    ).reshape(b, s, h * (d + 1))
+    if t_pad > t:
+        qs = jnp.pad(qs, ((0, 0), (0, t_pad - t), (0, 0)))
+    if s_pad > s:
+        k = jnp.pad(k, ((0, 0), (0, s_pad - s), (0, 0)))
+        va = jnp.pad(va, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    num_q = t_pad // block_q
+    num_k = s_pad // block_k
+    last_k = num_k - 1
+    static_tail = s_pad > s
+
+    def body(lens_ref, q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr):
+        ki = pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        if has_lens:
+            row_len = lens_ref[pl.program_id(0)]
+            q_start = pl.program_id(1) * block_q
+            run = jnp.logical_and(q_start < row_len, ki * block_k < row_len)
+        else:
+            row_len = s
+            run = True
+
+        @pl.when(run)
+        def _update():
+            qb = q_ref[0]  # (block_q, h·d), pre-scaled
+            kb = k_ref[0]  # (block_k, h·d)
+            vb = v_ref[0]  # (block_k, h·(d+1)) ones-augmented per head
+            col = None
+            if has_lens:
+                col = ki * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (qb.shape[0], block_k), 1
+                )
+            elif static_tail:
+                col = ki * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (qb.shape[0], block_k), 1
+                )
+            for hh in range(h):
+                s2 = jax.lax.dot_general(
+                    qb[:, hh * d:(hh + 1) * d],
+                    kb[:, hh * d:(hh + 1) * d],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if has_lens:
+                    s2 = jnp.where(col < row_len, s2, -jnp.inf)
+                elif static_tail:
+                    # only the last key block straddles the static end
+                    s2 = jnp.where(
+                        jnp.logical_or(ki != last_k, col < s), s2, -jnp.inf
+                    )
+                m_prev = m_scr[hh]
+                m_new = jnp.maximum(m_prev, s2.max(axis=-1, keepdims=True))
+                p = jnp.exp2(s2 - m_new)
+                alpha = jnp.exp2(m_prev - m_new)
+                acc_scr[hh] = acc_scr[hh] * alpha + jax.lax.dot_general(
+                    p.astype(vb.dtype),
+                    vb[:, hh * (d + 1):(hh + 1) * (d + 1)],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_scr[hh] = m_new
+
+        @pl.when(ki == last_k)
+        def _finalize():
+            for hh in range(h):
+                acc = acc_scr[hh]
+                denom = acc[:, d:d + 1]
+                if has_lens:
+                    # fully-padded query blocks never ran: denom == 0
+                    out = jnp.where(denom > 0, acc[:, :d] / denom, 0.0)
+                else:
+                    out = acc[:, :d] / denom
+                o_ref[0, :, hh * d:(hh + 1) * d] = out.astype(o_ref.dtype)
+
+    grid = (b, num_q, num_k)
+    tensor_in_specs = [
+        pl.BlockSpec((1, block_q, inner), lambda bi, qi, ki, *_: (bi, qi, 0)),
+        pl.BlockSpec((1, block_k, inner), lambda bi, qi, ki, *_: (bi, ki, 0)),
+        pl.BlockSpec(
+            (1, block_k, h * (d + 1)), lambda bi, qi, ki, *_: (bi, ki, 0)
+        ),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, block_q, inner), lambda bi, qi, ki, *_: (bi, qi, 0)
+    )
+    scratch = [
+        pltpu.VMEM((h, block_q, 1), jnp.float32),
+        pltpu.VMEM((h, block_q, d + 1), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    cost = pl.CostEstimate(
+        flops=2 * 2 * b * h * t_pad * s_pad * d,
+        bytes_accessed=b * (t_pad + 2 * s_pad * num_q) * inner
+        * q.dtype.itemsize,
+        transcendentals=b * h * t_pad * s_pad,
+    )
+
+    if has_lens:
+        out = pl.pallas_call(
+            body,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=tensor_in_specs,
+                out_specs=out_spec,
+                scratch_shapes=scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, t_pad, inner), q.dtype),
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(jnp.asarray(lens_b, jnp.int32), qs, k, va)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr):
+            body(None, q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=tensor_in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, t_pad, inner), q.dtype),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qs, k, va)
+
+    return out[:, :t]
+
+
 # Crossovers measured on v5e (head dim 32, bf16): below ~2k frames XLA
 # dense wins (free fusions, equally-underfilled MXU); fullk wins from
 # there (0.47 ms at 3600 vs 1.40 dense / 0.69 blocked; 7.2 ms at 14400
@@ -546,19 +722,12 @@ def _flash_route(q, k, v, num_heads: int, lengths=None):
         return _flash_tpu_packed(
             q, k, v, lengths, num_heads=h, has_lens=lengths is not None
         )
-    # very long sequences: online-softmax blocked kernel (per-head layout)
-    d = inner // h
-    lens_bh = None
-    if lengths is not None:
-        lens_bh = jnp.repeat(jnp.asarray(lengths, jnp.int32), h)
-    out = _flash_tpu_blocked(
-        q.reshape(b, t, h, d),
-        k.reshape(b, k.shape[1], h, d),
-        v.reshape(b, v.shape[1], h, d),
-        lens_bh,
-        has_lens=lengths is not None,
+    # very long sequences (>4 min of audio): online-softmax blocked
+    # kernel, still in the packed layout — K is streamed in blocks so
+    # VMEM usage is independent of S
+    return _flash_tpu_packed_blocked(
+        q, k, v, lengths, num_heads=h, has_lens=lengths is not None
     )
-    return out.reshape(b, t, inner)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

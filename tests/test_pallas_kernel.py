@@ -116,3 +116,40 @@ def test_packed_flash_runtime_lengths():
             atol=2e-5, rtol=1e-4,
         )
     assert np.all(np.isfinite(np.asarray(got)))
+
+
+@pytest.mark.parametrize("t,s", [(256, 256), (300, 300), (256, 520)])
+def test_packed_blocked_flash_matches_dense(t, s):
+    """The packed-layout ONLINE-SOFTMAX kernel (the >4-minute-clip path:
+    key axis streamed in blocks) must match dense, including shapes that
+    straddle both the query and key block boundaries."""
+    from said_tpu.ops.pallas_attention import _flash_tpu_packed_blocked
+
+    b, h, d = 2, 2, 32
+    q, k, v = _qkv(t, s, b=b, h=h, d=d)
+    ref = _dense_reference(q, k, v).reshape(b, t, h * d)
+    got = _flash_tpu_packed_blocked(
+        q.reshape(b, t, h * d), k.reshape(b, s, h * d), v.reshape(b, s, h * d),
+        num_heads=h, block_q=128, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_packed_blocked_flash_runtime_lengths():
+    from said_tpu.ops.pallas_attention import _flash_tpu_packed_blocked
+
+    b, h, d, t = 3, 2, 32, 384
+    q, k, v = _qkv(t, t, b=b, h=h, d=d)
+    lengths = np.array([384, 200, 129], np.int32)  # full, straddle, straddle
+    ref = _dense_reference(q, k, v, lengths=lengths).reshape(b, t, h * d)
+    got = _flash_tpu_packed_blocked(
+        q.reshape(b, t, h * d), k.reshape(b, t, h * d), v.reshape(b, t, h * d),
+        jnp.asarray(lengths), num_heads=h, block_q=128, block_k=128,
+        has_lens=True, interpret=True,
+    )
+    for i, n in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(got)[i, :n], np.asarray(ref)[i, :n],
+            atol=2e-5, rtol=1e-4,
+        )
+    assert np.all(np.isfinite(np.asarray(got)))
