@@ -54,7 +54,14 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
         "--dtype", type=str, default="float32", choices=["float32", "bfloat16"]
     )
     parser.add_argument(
-        "--attn_impl", type=str, default="auto", choices=["auto", "dense", "flash"]
+        "--attn_impl", type=str, default="auto",
+        choices=["auto", "dense", "flash", "flash_sp"],
+    )
+    parser.add_argument(
+        "--seq_shards", type=int, default=0,
+        help="sequence-parallel sampling: shard the frame axis over this "
+             "many devices (pads the clip so the frame count divides; "
+             "forces the flash_sp attention partitioning rule)",
     )
     parser.add_argument(
         "--profile_dir", type=str, default="",
@@ -75,11 +82,28 @@ def main(argv=None) -> None:
     add_arguments(parser)
     args = parser.parse_args(argv)
 
+    seq_mesh = None
+    divisor = args.divisor_unet
+    attn_impl = args.attn_impl
+    if args.seq_shards > 1:
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if len(devices) < args.seq_shards:
+            raise SystemExit(
+                f"--seq_shards {args.seq_shards} > {len(devices)} devices"
+            )
+        seq_mesh = Mesh(np.asarray(devices[: args.seq_shards]), ("seq",))
+        attn_impl = "flash_sp"
+        divisor = args.divisor_unet * args.seq_shards // np.gcd(
+            args.divisor_unet, args.seq_shards
+        )
+
     model = build_said_model(
         prediction_type=args.prediction_type,
         feature_dim=args.unet_feature_dim,
         dtype=args.dtype,
-        attn_impl=args.attn_impl,
+        attn_impl=attn_impl,
     )
     params = load_said_params(
         args.weights_path if os.path.exists(args.weights_path) else None, model,
@@ -88,7 +112,7 @@ def main(argv=None) -> None:
     pipeline = SAIDPipeline(model, params)
 
     waveform = load_audio(args.audio_path, pipeline.sampling_rate)
-    fit = fit_audio_unet(waveform, pipeline.sampling_rate, args.fps, args.divisor_unet)
+    fit = fit_audio_unet(waveform, pipeline.sampling_rate, args.fps, divisor)
     waveform_processed = process_audio(fit.waveform)
     window_len = fit.window_size
 
@@ -114,6 +138,7 @@ def main(argv=None) -> None:
         rng=jax.random.PRNGKey(args.seed),
         save_intermediate=args.save_intermediate,
         length_bucket=args.length_bucket,
+        seq_mesh=seq_mesh,
     )
 
     if args.profile_dir:

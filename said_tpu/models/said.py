@@ -158,6 +158,26 @@ def process_audio(waveform: np.ndarray) -> np.ndarray:
     return out
 
 
+def _shard_seq_tree(tree, mesh, t_frames: int):
+    """Place a pytree on a 'seq' mesh, sharding the frame axis.
+
+    Leaf rules (by role): (B, T, ...) tensors — latents, masks, and the
+    banded K/V caches (B, T, W, H, D) — shard dim 1; per-frame tables
+    (T, W) shard dim 0; everything else replicates.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def place(x):
+        spec = [None] * x.ndim
+        if x.ndim >= 3 and x.shape[1] == t_frames:
+            spec[1] = "seq"
+        elif x.ndim == 2 and x.shape[0] == t_frames:
+            spec[0] = "seq"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(place, tree)
+
+
 class SAIDPipeline:
     """Host-side driver: owns params, schedule, and a jit cache.
 
@@ -308,6 +328,7 @@ class SAIDPipeline:
         length_bucket: int = 0,
         scan_unroll: int = 1,
         waveform_lengths: Optional[np.ndarray] = None,
+        seq_mesh=None,
     ) -> SAIDInferenceOutput:
         """Full inference (reference ``SAID.inference`` semantics).
 
@@ -326,6 +347,16 @@ class SAIDPipeline:
         different real sample counts; each row's real frames equal its
         own unpadded run (a serving capability the reference lacks — it
         can only batch copies of one clip).
+
+        ``seq_mesh`` — a ``jax.sharding.Mesh`` with a ``'seq'`` axis:
+        sequence-parallel sampling for extreme clip lengths. Latents and
+        the banded K/V caches are sharded along the frame axis; GSPMD
+        partitions convs/norms spatially and the flash kernel's
+        custom-partitioning rule keeps attention blockwise (build the
+        model with ``self_attn_impl="flash_sp"``). Requires the frame
+        count to divide the axis size (pad the clip via
+        ``fit_audio_unet(divisor=...)``) and is exclusive with
+        ``length_bucket``.
         """
         waveform_processed = jnp.asarray(waveform_processed)
         if waveform_processed.ndim == 1:
@@ -405,6 +436,20 @@ class SAIDPipeline:
             jnp.asarray(t_a_real, jnp.int32),
             window_real_arg,
         )
+        if seq_mesh is not None:
+            if dynamic:
+                raise ValueError("seq_mesh is exclusive with length_bucket")
+            n_seq = seq_mesh.shape["seq"]
+            if window_size % n_seq:
+                raise ValueError(
+                    f"frame count {window_size} must divide the seq axis "
+                    f"({n_seq}); pad the clip via fit_audio_unet(divisor=...)"
+                )
+            kv_caches = _shard_seq_tree(kv_caches, seq_mesh, window_size)
+            latents, init_arg, mask_arg = (
+                _shard_seq_tree(x, seq_mesh, window_size)
+                for x in (latents, init_arg, mask_arg)
+            )
         result, interms = denoise_fn(
             self.params,
             rng,

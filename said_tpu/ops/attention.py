@@ -141,6 +141,15 @@ def multi_head_attention(
         # projections in their natural layout — no transposes at all
         return flash_attention_flat(q, k, v, h, lengths=lengths)
 
+    if impl == "flash_sp":
+        from said_tpu.ops.pallas_attention import flash_attention_flat_sp
+
+        # sequence-parallel: frame axis sharded over a mesh; GSPMD keeps
+        # Q sharded and gathers K/V per shard (custom_partitioning rule)
+        if lengths is not None:
+            raise ValueError("flash_sp does not support runtime lengths")
+        return flash_attention_flat_sp(q, k, v, h)
+
     # dense
     scores = jnp.einsum("bthd,bshd->bhts", qh, kh) * scale
     if mask is not None:

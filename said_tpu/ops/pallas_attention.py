@@ -767,6 +767,75 @@ def _flash_flat_bwd(num_heads, res, g):
 flash_attention_flat.defvjp(_flash_flat_fwd, _flash_flat_bwd)
 
 
+@functools.lru_cache(maxsize=None)
+def _sp_flash(num_heads: int):
+    """Sequence-parallel flash attention via ``custom_partitioning``.
+
+    Teaches GSPMD how to partition the (opaque) Pallas kernel over a
+    frame-sharded mesh axis: the output follows the query's sharding,
+    queries stay sharded by frame block, and keys/values are gathered
+    (replicated along their frame axis) onto every shard — blockwise
+    attention, the TPU-native equivalent of the sequence parallelism the
+    reference lacks entirely (SURVEY §2.9: no SP/CP of any kind; long
+    clips there run a single-device dense O(T²) attention,
+    ``said/model/diffusion.py:359-364``). K/V for this model are small
+    ((B, T, 192) bf16 ≈ 0.7 MB/min of audio), so an all-gather riding
+    ICI is far below the attention FLOP cost and the per-shard kernels
+    keep the packed layout.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(q, k, v):
+        return _flash_route(q, k, v, num_heads, None)
+
+    fn = custom_partitioning(impl)
+
+    def _q_spec(arg_shapes):
+        sh = arg_shapes[0].sharding
+        spec = list(getattr(sh, "spec", P()) or ())
+        spec += [None] * (3 - len(spec))
+        # Never split heads/lanes across shards (head boundaries would
+        # be crossed); batch + frame sharding pass through.
+        return P(spec[0], spec[1], None)
+
+    def infer(mesh, arg_shapes, shape):
+        return NamedSharding(mesh, _q_spec(arg_shapes))
+
+    def partition(mesh, arg_shapes, result_shape):
+        qs = _q_spec(arg_shapes)
+        kv = P(qs[0], None, None)  # gather K/V rows onto every shard
+        arg_shardings = (
+            NamedSharding(mesh, qs),
+            NamedSharding(mesh, kv),
+            NamedSharding(mesh, kv),
+        )
+        return mesh, impl, NamedSharding(mesh, qs), arg_shardings
+
+    # Shardy expresses the same contract declaratively (einsum-like
+    # factors): batch b and query-frame t may shard; key-frame s and the
+    # packed head·lane dim f must be replicated (gathered) on each shard.
+    # The GSPMD callbacks cover the legacy partitioner path.
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b t f, b s f, b s f -> b t f",
+        need_replication_factors=("f", "s"),
+    )
+    return fn
+
+
+def flash_attention_flat_sp(q, k, v, num_heads: int):
+    """Frame-sharded (sequence-parallel) flat attention — see ``_sp_flash``.
+
+    Inference path for extreme clip lengths on a mesh with a sharded
+    frame axis; no runtime-length support (SP serves one long clip, not
+    mixed-length buckets). Unsharded callers fall through to the normal
+    route unchanged.
+    """
+    return _sp_flash(num_heads)(q, k, v)
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     lengths=None) -> jnp.ndarray:
     """Attention over (B, T, H, D) tensors; Pallas on TPU, dense elsewhere.
