@@ -1,0 +1,81 @@
+"""Pallas norm kernels (interpret mode on CPU) vs the jnp twins.
+
+The kernels must be numerically identical (same two-pass f32 statistics)
+— they are the TPU execution path of GroupNorm32/LayerNormF32, so any
+drift would break the torch parity established for the jnp versions.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from said_tpu.ops.norms import _group_norm_jnp, _layer_norm_jnp
+from said_tpu.ops.pallas_norms import group_norm_pallas, layer_norm_pallas
+
+
+@pytest.mark.parametrize("t,c,g", [(96, 192, 32), (128, 64, 8), (100, 512, 512)])
+def test_group_norm_kernel_matches_jnp(t, c, g):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, t, c)) * 3 + 1.5, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    ref = _group_norm_jnp(x, g, scale, bias)
+    got = group_norm_pallas(x, scale, bias, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_group_norm_kernel_silu_epilogue():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 64, 192)), jnp.float32)
+    scale = jnp.ones((192,), jnp.float32)
+    bias = jnp.zeros((192,), jnp.float32)
+    ref = _group_norm_jnp(x, 32, scale, bias, act="silu")
+    got = group_norm_pallas(x, scale, bias, 32, act="silu", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    # and the fused act really is silu(groupnorm(x))
+    base = _group_norm_jnp(x, 32, scale, bias)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(jax.nn.silu(base)), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("t", [96, 3600])  # divides / falls back in _pick_block
+def test_layer_norm_kernel_matches_jnp(t):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, t, 192)) * 2 - 0.5, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(192), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(192), jnp.float32)
+    ref = _layer_norm_jnp(x, scale, bias)
+    got = layer_norm_pallas(x, scale, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_routed_norm_grads_match_jnp(monkeypatch):
+    """custom_vjp: kernel forward (interpret), jnp-recompute backward —
+    gradients must equal differentiating the jnp version directly."""
+    monkeypatch.setenv("SAID_NORM_INTERPRET", "1")
+    from said_tpu.ops.norms import group_norm, layer_norm_f32
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 192)), jnp.float32)
+    scale = jnp.asarray(1 + 0.1 * rng.standard_normal(192), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(192), jnp.float32)
+
+    def loss_routed(x, s, b):
+        return (group_norm(x, 32, s, b, 1e-5, "silu") ** 2).sum() + (
+            layer_norm_f32(x, s, b) ** 2
+        ).sum()
+
+    def loss_jnp(x, s, b):
+        return (_group_norm_jnp(x, 32, s, b, 1e-5, "silu") ** 2).sum() + (
+            _layer_norm_jnp(x, s, b) ** 2
+        ).sum()
+
+    g1 = jax.grad(loss_routed, argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(loss_jnp, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4
+        )

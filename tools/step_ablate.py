@@ -94,6 +94,43 @@ def main():
     print(f"{'self in-situ':>24}: {(base-no_self)*1e3:7.3f} ms")
     print(f"{'rest (conv/ff/norm)':>24}: {no_both*1e3:7.3f} ms")
 
+    # Norm ablations (attention restored): the fp32 GroupNorm reshape
+    # (B,T,C) -> (B,T,G,C/G) splits the lane dim 192 into 6-wide lanes —
+    # a relayout suspect. 'affine' removes statistics entirely (floor);
+    # 'gn_lanefriendly' reduces over T first (lane-preserving), then
+    # over the tiny (B, C) partials.
+    real_gn = U.group_norm
+    real_ln = U.layer_norm_f32
+
+    def gn_affine(x, g, scale, bias, eps=1e-5):
+        return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
+
+    def ln_affine(x, scale, bias, eps=1e-5):
+        return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
+
+    U.group_norm = gn_affine
+    U.layer_norm_f32 = ln_affine
+    timed_unet("norms_affine_only")
+    U.layer_norm_f32 = real_ln
+    timed_unet("gn_affine_ln_real")
+
+    def gn_lanefriendly(x, g, scale, bias, eps=1e-5):
+        b, t, c = x.shape
+        xf = x.astype(jnp.float32)
+        s = xf.sum(axis=1)  # (B, C), lane-preserving
+        mean_g = s.reshape(b, g, c // g).sum(-1) / (t * (c // g))
+        mean_c = jnp.repeat(mean_g, c // g, axis=-1)[:, None, :]
+        d = xf - mean_c
+        ss = (d * d).sum(axis=1)
+        var_g = ss.reshape(b, g, c // g).sum(-1) / (t * (c // g))
+        rstd_c = jax.lax.rsqrt(var_g + eps)
+        rstd_c = jnp.repeat(rstd_c, c // g, axis=-1)[:, None, :]
+        return (d * rstd_c * scale + bias).astype(x.dtype)
+
+    U.group_norm = gn_lanefriendly
+    timed_unet("gn_lanefriendly")
+    U.group_norm = real_gn
+
 
 if __name__ == "__main__":
     main()
