@@ -92,6 +92,40 @@ class LayerNormF32(nn.Module):
         return layer_norm_f32(x, scale, bias, self.eps)
 
 
+class Conv3(nn.Module):
+    """k=3 SAME 1-D conv as three shifted matmuls.
+
+    XLA's TPU conv lowering runs this shape at ~10% MFU (78 us at
+    (2, 3600, 192) bf16); the explicit shifted-matmul formulation hits
+    ~63% (12.8 us) — the taps become plain MXU matmuls over the padded
+    input. The parameter pytree matches flax ``nn.Conv`` exactly
+    ('kernel' (3, in, out) + 'bias'), so checkpoints, the torch
+    importer, and the TP sharding rules are unaffected.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, c_in, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        k = kernel.astype(self.dtype)
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (1, 1), (0, 0)))
+        y = (
+            xp[:, :-2] @ k[0]
+            + xp[:, 1:-1] @ k[1]
+            + xp[:, 2:] @ k[2]
+        )
+        return y + bias.astype(self.dtype)
+
+
 class ResBlock1D(nn.Module):
     """Residual block: GN→SiLU→conv, +time-emb, GN→SiLU→drop→zero-conv, +skip.
 
@@ -122,7 +156,7 @@ class ResBlock1D(nn.Module):
             return v * m.astype(v.dtype)
 
         h = GroupNorm32(name="in_norm", act="silu")(x, seq_mask)
-        h = nn.Conv(self.out_channels, (3,), padding=1, dtype=self.dtype, name="in_conv")(
+        h = Conv3(self.out_channels, dtype=self.dtype, name="in_conv")(
             zero_pads(h)
         )
 
@@ -132,10 +166,8 @@ class ResBlock1D(nn.Module):
 
         h = GroupNorm32(name="out_norm", act="silu")(h, seq_mask)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(
+        h = Conv3(
             self.out_channels,
-            (3,),
-            padding=1,
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             name="out_conv",
@@ -476,7 +508,7 @@ class UNet1DConditionModel(nn.Module):
         if context is not None:
             context = context.astype(self.dtype)
 
-        h0 = nn.Conv(mc, (3,), padding=1, dtype=self.dtype, name="input_conv")(x)
+        h0 = Conv3(mc, dtype=self.dtype, name="input_conv")(x)
 
         h1 = res("input_res", h0)
         h1 = st("input_attn", h1)
@@ -497,10 +529,8 @@ class UNet1DConditionModel(nn.Module):
         if seq_mask is not None:
             m = seq_mask[None, :, None] if seq_mask.ndim == 1 else seq_mask[:, :, None]
             o = o * m.astype(o.dtype)
-        o = nn.Conv(
+        o = Conv3(
             self.out_channels,
-            (3,),
-            padding=1,
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             name="out_conv",
