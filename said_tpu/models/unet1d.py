@@ -221,8 +221,36 @@ class CrossAttention(nn.Module):
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with flax ``nn.Dense``'s exact pytree/init
+    ('kernel' (in, out) lecun-normal + zero 'bias') — lets FeedForward
+    hand raw weights to the fused kernel without changing checkpoint
+    structure."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return k, b
+
+
 class FeedForward(nn.Module):
-    """GEGLU feed-forward (reference ``GEGLU``+``FeedForward``)."""
+    """GEGLU feed-forward (reference ``GEGLU``+``FeedForward``).
+
+    Sampling (deterministic) runs the fused Pallas kernel on TPU — both
+    matmuls back-to-back in VMEM with the exact-erf gelu between them,
+    skipping the (B, T, 4·2·C) HBM round-trip. Training keeps the
+    unfused path (dropout sits between the gelu-mul and the out
+    projection)."""
 
     mult: int = 4
     dropout: float = 0.0
@@ -232,11 +260,18 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         dim = x.shape[-1]
         inner = dim * self.mult
-        proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
-        h, gate = jnp.split(proj, 2, axis=-1)
+        w1, b1 = _DenseParams(inner * 2, name="proj")(dim)
+        w2, b2 = _DenseParams(dim, name="out")(inner)
+        if deterministic:
+            from said_tpu.ops.pallas_ffn import geglu_ffn
+
+            return geglu_ffn(x, w1, b1, w2, b2)
+        dt = self.dtype
+        h = x.astype(dt) @ w1.astype(dt) + b1.astype(dt)
+        h, gate = jnp.split(h, 2, axis=-1)
         h = h * jax.nn.gelu(gate, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.Dense(dim, dtype=self.dtype, name="out")(h)
+        return h @ w2.astype(dt) + b2.astype(dt)
 
 
 class BasicTransformerBlock(nn.Module):
