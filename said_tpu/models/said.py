@@ -117,12 +117,22 @@ class SAID(nn.Module):
         deterministic: bool = True,
         input_length=None,
         num_frames_real=None,
+        stop_encoder_grad: bool = False,
     ) -> jnp.ndarray:
-        """(B, T_a) processed waveform → (B, num_frames, E) embedding."""
+        """(B, T_a) processed waveform → (B, num_frames, E) embedding.
+
+        ``stop_encoder_grad``: the trainer freezes the encoder (reference
+        ``train.py:547-548``); stopping the gradient HERE (before the
+        trainable ``audio_proj_layer``) spares XLA the entire encoder
+        backward — the optimizer's mask alone still pays for computing
+        the unused weight gradients (~40% of the measured train step).
+        """
         feats = self.audio_encoder(
             waveform, num_frames, mask_time_indices, deterministic,
             input_length=input_length, num_frames_real=num_frames_real,
         )
+        if stop_encoder_grad:
+            feats = jax.lax.stop_gradient(feats)
         if self.feature_dim > 0:
             feats = self.audio_proj_layer(feats)
         return feats

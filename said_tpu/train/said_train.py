@@ -150,6 +150,7 @@ def said_loss(
         rngs={"dropout": rng_enc} if encoder_stochastic else None,
         input_length=input_length if dynamic else None,
         num_frames_real=window_real if dynamic else None,
+        stop_encoder_grad=True,
     )
     uncond_embedding = model.apply(
         variables, b, cond_embedding.shape[1], method=SAID.null_embedding
