@@ -133,15 +133,10 @@ def _ln_bwd(eps, res, g):
 layer_norm_f32.defvjp(_ln_fwd, _ln_bwd)
 
 
-def group_norm_masked(
+def _group_norm_masked_jnp(
     x, num_groups: int, scale, bias, seq_mask, eps: float = 1e-5,
     act: str = "none",
 ):
-    """GroupNorm whose statistics ignore padded frames.
-
-    Produces, at the valid frames, exactly what ``group_norm`` would
-    produce on the unpadded tensor. seq_mask: (T,) or (B, T) bool.
-    """
     b, t, c = x.shape
     g = num_groups
     if seq_mask.ndim == 1:
@@ -159,3 +154,53 @@ def group_norm_masked(
     if act == "silu":
         out = out * jax.lax.logistic(out)
     return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6))
+def group_norm_masked(
+    x, num_groups: int, scale, bias, seq_mask, eps: float = 1e-5,
+    act: str = "none",
+):
+    """GroupNorm whose statistics ignore padded frames.
+
+    Produces, at the valid frames, exactly what ``group_norm`` would
+    produce on the unpadded tensor. seq_mask: (T,) or (B, T) bool.
+    Routed like ``group_norm`` (Pallas kernel on TPU for static shapes,
+    the mask riding in as a per-row float input).
+    """
+    backend = _norm_backend(x.shape[1], x.shape[2], whole_row=True)
+    if backend == "jnp":
+        return _group_norm_masked_jnp(
+            x, num_groups, scale, bias, seq_mask, eps, act
+        )
+    from said_tpu.ops.pallas_norms import group_norm_masked_pallas
+
+    return group_norm_masked_pallas(
+        x, scale, bias, seq_mask, num_groups, eps, act,
+        interpret=backend == "interpret",
+    )
+
+
+def _gnm_fwd(x, num_groups, scale, bias, seq_mask, eps, act):
+    return (
+        group_norm_masked(x, num_groups, scale, bias, seq_mask, eps, act),
+        (x, scale, bias, seq_mask),
+    )
+
+
+def _gnm_bwd(num_groups, eps, act, res, g):
+    import numpy as np
+
+    x, scale, bias, seq_mask = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _group_norm_masked_jnp(
+            x_, num_groups, s_, b_, seq_mask, eps, act
+        ),
+        x, scale, bias,
+    )
+    dx, ds, db = vjp(g)
+    ct_mask = np.zeros(np.shape(seq_mask), dtype=jax.dtypes.float0)
+    return dx, ds, db, ct_mask
+
+
+group_norm_masked.defvjp(_gnm_fwd, _gnm_bwd)

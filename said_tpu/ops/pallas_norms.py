@@ -102,6 +102,80 @@ def group_norm_pallas(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_groups", "eps", "act", "interpret"),
+)
+def group_norm_masked_pallas(
+    x, scale, bias, mask, num_groups: int, eps: float = 1e-5,
+    act: str = "none", interpret: bool = False,
+):
+    """Masked GroupNorm32: statistics ignore padded frames.
+
+    ``mask`` (B, T) float (1 = real frame). Matches
+    ``said_tpu.ops.norms.group_norm_masked`` on the real frames; padded
+    rows hold finite garbage (their normalize still runs) exactly like
+    the jnp version.
+    """
+    from jax.experimental import pallas as pl
+
+    b, t, c = x.shape
+    g = num_groups
+    cg = c // g
+
+    def body(x_ref, s_ref, b_ref, m_ref, o_ref):
+        xf = x_ref[0].astype(jnp.float32)  # (T, C)
+        m = m_ref[...].reshape(t, 1)  # (T, 1)
+        ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
+        grp = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+        ind = (ch // cg == grp).astype(jnp.float32)  # (C, G)
+        count = jnp.sum(m) * cg
+        s_c = jnp.sum(xf * m, axis=0, keepdims=True)  # (1, C)
+        mean_g = jax.lax.dot_general(
+            s_c, ind, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / count
+        mean_c = jax.lax.dot_general(
+            mean_g, ind, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = xf - mean_c
+        ss_c = jnp.sum(jnp.square(d * m), axis=0, keepdims=True)
+        var_g = jax.lax.dot_general(
+            ss_c, ind, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / count
+        rstd_c = jax.lax.dot_general(
+            jax.lax.rsqrt(var_g + eps), ind, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = d * rstd_c * s_ref[0] + b_ref[0]
+        if act == "silu":
+            out = out * jax.lax.logistic(out)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        body,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, t), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        interpret=interpret,
+    )(
+        x,
+        scale.astype(jnp.float32).reshape(1, c),
+        bias.astype(jnp.float32).reshape(1, c),
+        jnp.broadcast_to(
+            jnp.asarray(mask, jnp.float32).reshape(-1, t), (b, t)
+        ),
+    )
+
+
 def _pick_block(t: int, cap: int = 1024) -> int:
     """Largest T-block ≤ cap dividing t; sublane rule: multiple of 8 (or
     the whole axis)."""

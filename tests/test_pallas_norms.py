@@ -79,3 +79,58 @@ def test_routed_norm_grads_match_jnp(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4
         )
+
+
+def test_group_norm_masked_kernel_matches_jnp():
+    from said_tpu.ops.norms import _group_norm_masked_jnp
+    from said_tpu.ops.pallas_norms import group_norm_masked_pallas
+
+    rng = np.random.default_rng(4)
+    b, t, c, g = 3, 96, 192, 32
+    x = jnp.asarray(rng.standard_normal((b, t, c)) * 2 + 0.5, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    lens = np.array([96, 60, 33])
+    mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+    ref = _group_norm_masked_jnp(x, g, scale, bias, mask, act="silu")
+    got = group_norm_masked_pallas(
+        x, scale, bias, mask, g, act="silu", interpret=True
+    )
+    for i, n in enumerate(lens):
+        np.testing.assert_allclose(
+            np.asarray(got)[i, :n], np.asarray(ref)[i, :n],
+            atol=1e-5, rtol=1e-5,
+        )
+    assert np.all(np.isfinite(np.asarray(got)))
+    # masked stats == unpadded run on the real frames
+    from said_tpu.ops.norms import _group_norm_jnp
+    row1 = _group_norm_jnp(x[1:2, :60], g, scale, bias, act="silu")
+    np.testing.assert_allclose(
+        np.asarray(got)[1, :60], np.asarray(row1)[0], atol=1e-5, rtol=1e-5
+    )
+
+
+def test_group_norm_masked_grads_match_jnp(monkeypatch):
+    monkeypatch.setenv("SAID_NORM_INTERPRET", "1")
+    from said_tpu.ops.norms import _group_norm_masked_jnp, group_norm_masked
+
+    rng = np.random.default_rng(5)
+    b, t, c, g = 2, 64, 192, 32
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    scale = jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    mask = jnp.asarray(np.arange(t)[None, :] < np.array([[64], [40]]))
+    mf = mask[:, :, None].astype(jnp.float32)
+
+    def loss_routed(x, s, b_):
+        return ((group_norm_masked(x, g, s, b_, mask) * mf) ** 2).sum()
+
+    def loss_jnp(x, s, b_):
+        return ((_group_norm_masked_jnp(x, g, s, b_, mask) * mf) ** 2).sum()
+
+    g1 = jax.grad(loss_routed, argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(loss_jnp, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b2 in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b2), atol=1e-4, rtol=1e-4
+        )
