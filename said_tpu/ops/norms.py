@@ -50,6 +50,8 @@ def _layer_norm_jnp(x, scale, bias, eps=1e-5):
 def _norm_backend(t: int, c: int, whole_row: bool) -> str:
     if os.environ.get("SAID_NORM_INTERPRET"):
         return "interpret"
+    if os.environ.get("SAID_NORMS_JNP"):  # A/B kill-switch
+        return "jnp"
     from said_tpu.ops.pallas_norms import _MAX_TC_VMEM
 
     if jax.default_backend() == "tpu" and (

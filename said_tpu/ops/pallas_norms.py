@@ -125,7 +125,7 @@ def group_norm_masked_pallas(
 
     def body(x_ref, s_ref, b_ref, m_ref, o_ref):
         xf = x_ref[0].astype(jnp.float32)  # (T, C)
-        m = m_ref[...].reshape(t, 1)  # (T, 1)
+        m = m_ref[0, :, 0:1]  # (T, 1); mask rides lane-padded to (T, 8)
         ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
         grp = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
         ind = (ch // cg == grp).astype(jnp.float32)  # (C, G)
@@ -161,7 +161,7 @@ def group_norm_masked_pallas(
             pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, t), lambda i: (i, 0)),
+            pl.BlockSpec((1, t, 8), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
@@ -171,7 +171,8 @@ def group_norm_masked_pallas(
         scale.astype(jnp.float32).reshape(1, c),
         bias.astype(jnp.float32).reshape(1, c),
         jnp.broadcast_to(
-            jnp.asarray(mask, jnp.float32).reshape(-1, t), (b, t)
+            jnp.asarray(mask, jnp.float32).reshape(-1, t)[:, :, None],
+            (b, t, 8),
         ),
     )
 
