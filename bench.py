@@ -10,6 +10,10 @@ metric as round 1 for comparability):
   rtf_1000step_b32       aggregate RTF at batch 32
   rtf_bucketed_mixed     mixed-length bucketed batch (production serving
                          mode: one compiled program, per-row lengths)
+  train_steps_per_sec    training step rate, batch 8 x window 128
+                         (frozen encoder + UNet fwd/bwd + AdamW + EMA),
+                         chained in one program so the measurement is
+                         device-bound
 
 RTF = audio-seconds / wall-seconds for the complete pipeline (audio
 encoding + N DDIM steps with CFG, the whole chain one jitted lax.scan),
@@ -165,6 +169,54 @@ def main() -> None:
         run_bucketed(i + 1)
     wall = (time.perf_counter() - t0) / iters
     emit("rtf_bucketed_mixed", sum(lens_s) / wall, "x_realtime")
+
+    # 5. Training step rate (batch 8, window 128, the reference's shape).
+    from jax import lax
+
+    from said_tpu.diffusion.schedule import DiffusionSchedule
+    from said_tpu.train.said_train import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    config = TrainConfig()
+    schedule = DiffusionSchedule.create(model.diffusion_steps)
+    state = create_train_state(config, init_said_params(model, seed=0))
+    bt, wt = (8, 128) if on_tpu else (2, 16)
+    batch = {
+        "waveform": jax.numpy.asarray(
+            process_audio(
+                rng.standard_normal((bt, (sr * wt) // 60)).astype(np.float32)
+            )
+        ),
+        "coeffs": jax.numpy.asarray(
+            rng.uniform(0, 1, (bt, wt, 32)).astype(np.float32)
+        ),
+        "cond": jax.numpy.ones((bt,), bool),
+    }
+    step_fn = make_train_step(model, schedule, config)
+
+    n_train = 50 if on_tpu else 2
+
+    @jax.jit
+    def chain_steps(state, keys):
+        def body(s, k):
+            s2, metrics = step_fn(s, batch, k)
+            # each step's loss depends on the previous step's FULL param
+            # update, so reducing the losses forces the entire chain
+            # (returning only a counter lets XLA DCE the training math)
+            return s2, metrics["loss"]
+
+        _, losses = lax.scan(body, state, keys)
+        return losses.sum()
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n_train)
+    float(chain_steps(state, keys))  # compile + warm
+    t0 = time.perf_counter()
+    float(chain_steps(state, keys))
+    wall = (time.perf_counter() - t0) / n_train
+    emit("train_steps_per_sec", 1.0 / wall, "steps/s", baseline=100.0)
 
     for r in results:
         print(json.dumps(r))

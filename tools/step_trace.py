@@ -28,11 +28,12 @@ from jax import lax
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--t", type=int, default=3600)
+    ap.add_argument("--b", type=int, default=2)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--out", default="/tmp/steptrace")
     ap.add_argument("--hlo", action="store_true", help="also dump HLO text")
     args = ap.parse_args()
-    B, T, N = 2, args.t, args.steps
+    B, T, N = args.b, args.t, args.steps
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
 
