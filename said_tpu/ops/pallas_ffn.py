@@ -86,6 +86,12 @@ def geglu_ffn_pallas(x, w1, b1, w2, b2, block_t: int = 512,
     bt = min(block_t, t)
     if t % bt:
         bt = t
+    # Pack batch rows into the block up to ~1024 frame-rows per grid
+    # step (the f32 projection temp is rows x 2I x 4 B) — per-row grids
+    # pay the grid-step overhead B times per call at serving batch sizes.
+    rb = min(b, max(1, 1024 // bt))
+    while b % rb:
+        rb -= 1
     dtype = x.dtype
 
     def erf(x):
@@ -103,7 +109,7 @@ def geglu_ffn_pallas(x, w1, b1, w2, b2, block_t: int = 512,
         return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
 
     def body(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
-        xb = x_ref[0]  # (bt, C)
+        xb = x_ref[...].reshape(rb * bt, c)  # sublane-merge, layout no-op
         h = jax.lax.dot_general(
             xb, w1_ref[...],
             (((1,), (0,)), ((), ())),
@@ -116,19 +122,19 @@ def geglu_ffn_pallas(x, w1, b1, w2, b2, block_t: int = 512,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b2_ref[0]
-        o_ref[0] = out.astype(o_ref.dtype)
+        o_ref[...] = out.reshape(rb, bt, c).astype(o_ref.dtype)
 
     return pl.pallas_call(
         body,
-        grid=(b, t // bt),
+        grid=(b // rb, t // bt),
         in_specs=[
-            pl.BlockSpec((1, bt, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((rb, bt, c), lambda i, j: (i, j, 0)),
             pl.BlockSpec((c, inner2), lambda i, j: (0, 0)),
             pl.BlockSpec((1, inner2), lambda i, j: (0, 0)),
             pl.BlockSpec((inner, c), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bt, c), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((rb, bt, c), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, c), dtype),
         interpret=interpret,
     )(

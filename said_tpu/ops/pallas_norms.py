@@ -5,18 +5,22 @@ materialize an ``x.astype(f32)`` tensor whose reductions make XLA pick a
 TRANSPOSED layout, inserting a ~25 us relayout copy at every norm; and
 every canonical-layout reformulation trades the copy for an equally slow
 (~68 us) strided reduce fusion. A fused kernel does the whole norm at
-HBM bandwidth (~7 us for (2, 3600, 192)): statistics accumulate in f32
-over the bf16 block held in VMEM, the normalize (+ optional SiLU
-epilogue, which the ResBlocks always apply) happens in the same pass,
-and no transposed intermediate ever exists.
+HBM bandwidth: statistics accumulate in f32 over the bf16 block held in
+VMEM, the normalize (+ optional SiLU epilogue, which the ResBlocks
+always apply) happens in the same pass, and no transposed intermediate
+ever exists.
 
-Numerics are IDENTICAL to ``said_tpu.ops.norms``: two-pass mean/var
-computed in f32 from the (possibly bf16) input, so torch-parity
-tolerances are unaffected.
+Grid blocking: one grid step per ROW-BLOCK of the batch, not per row —
+at serving batch sizes (64 CFG-doubled rows of 256 frames) per-row
+grids pay ~0.7 us of grid overhead 64 times per norm; packing rows
+into (rb, T, C) blocks keeps the whole thing vectorized (stats reduce
+over axis 1; the group reduce/broadcast is a one-hot matmul, since
+Mosaic has no lane-splitting shape casts).
 
-Routing lives in ``said_tpu.ops.norms``: TPU + static (unmasked) shapes
-use these kernels, everything else falls back to the jnp versions. CI
-drives the kernels on CPU via ``SAID_NORM_INTERPRET=1``.
+Numerics are IDENTICAL to the jnp twins in ``said_tpu.ops.norms`` (same
+two-pass f32 mean/var), so torch-parity tolerances are unaffected.
+Routing lives in ``said_tpu.ops.norms``; CI drives the kernels on CPU
+via ``SAID_NORM_INTERPRET=1``.
 """
 
 from __future__ import annotations
@@ -26,10 +30,33 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# GroupNorm holds a whole (T, C) row in VMEM (bf16 block + an f32
-# centered temp ≈ 6·T·C bytes, double-buffered in/out): cap the element
-# count so the 60 s flagship shape (3600, 192) fits with headroom.
+# A row block (rb, T, C) lives in VMEM as the bf16 block + an f32
+# centered temp (~6·rb·T·C bytes, double-buffered in/out): cap the
+# per-block element count so the 60 s flagship row (3600, 192) fits
+# with headroom.
 _MAX_TC_VMEM = 4096 * 192
+
+
+def _row_block(b: int, t: int, c: int) -> int:
+    """Largest divisor of b whose (rb, t, c) block fits the VMEM budget."""
+    cap = max(1, _MAX_TC_VMEM // (t * c))
+    rb = min(b, cap)
+    while b % rb:
+        rb -= 1
+    return rb
+
+
+def _group_indicator(c: int, g: int):
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+    return (ch // (c // g) == grp).astype(jnp.float32)  # (C, G)
+
+
+def _gdot(a, m):
+    """(rb, C) @ (C, G) group reduce (or its transpose broadcast)."""
+    return jax.lax.dot_general(
+        a, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
 @functools.partial(
@@ -51,48 +78,32 @@ def group_norm_pallas(
     g = num_groups
     cg = c // g
     n = t * cg
+    rb = _row_block(b, t, c)
 
     def body(x_ref, s_ref, b_ref, o_ref):
-        xf = x_ref[0].astype(jnp.float32)  # (T, C)
-        # Group reduce/broadcast via a one-hot (C, G) indicator matmul —
-        # Mosaic has no lane-splitting (C,) -> (G, C/G) shape cast, and
-        # the tiny matmuls are effectively free on the MXU.
-        ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
-        grp = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
-        m = (ch // cg == grp).astype(jnp.float32)  # (C, G)
-        s_c = jnp.sum(xf, axis=0, keepdims=True)  # (1, C)
-        mean_g = jax.lax.dot_general(
-            s_c, m, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / n  # (1, G)
-        mean_c = jax.lax.dot_general(
-            mean_g, m, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (1, C)
-        d = xf - mean_c
-        ss_c = jnp.sum(d * d, axis=0, keepdims=True)
-        var_g = jax.lax.dot_general(
-            ss_c, m, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / n
-        rstd_c = jax.lax.dot_general(
-            jax.lax.rsqrt(var_g + eps), m, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        xf = x_ref[...].astype(jnp.float32)  # (rb, T, C)
+        ind = _group_indicator(c, g)
+        s_c = jnp.sum(xf, axis=1)  # (rb, C)
+        mean_c = _gdot(_gdot(s_c, ind) / n, ind.T)  # (rb, C)
+        d = xf - mean_c[:, None, :]
+        ss_c = jnp.sum(d * d, axis=1)
+        rstd_c = _gdot(
+            jax.lax.rsqrt(_gdot(ss_c, ind) / n + eps), ind.T
         )
-        out = d * rstd_c * s_ref[0] + b_ref[0]
+        out = d * rstd_c[:, None, :] * s_ref[0] + b_ref[0]
         if act == "silu":
             out = out * jax.lax.logistic(out)
-        o_ref[0] = out.astype(o_ref.dtype)
+        o_ref[...] = out.astype(o_ref.dtype)
 
     return pl.pallas_call(
         body,
-        grid=(b,),
+        grid=(b // rb,),
         in_specs=[
-            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, t, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((rb, t, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         interpret=interpret,
     )(
@@ -112,7 +123,8 @@ def group_norm_masked_pallas(
 ):
     """Masked GroupNorm32: statistics ignore padded frames.
 
-    ``mask`` (B, T) float (1 = real frame). Matches
+    ``mask`` (B, T) float (1 = real frame), lane-padded to (B, T, 8) on
+    the way in (sublane rules). Matches
     ``said_tpu.ops.norms.group_norm_masked`` on the real frames; padded
     rows hold finite garbage (their normalize still runs) exactly like
     the jnp version.
@@ -122,48 +134,35 @@ def group_norm_masked_pallas(
     b, t, c = x.shape
     g = num_groups
     cg = c // g
+    rb = _row_block(b, t, c)
 
     def body(x_ref, s_ref, b_ref, m_ref, o_ref):
-        xf = x_ref[0].astype(jnp.float32)  # (T, C)
-        m = m_ref[0, :, 0:1]  # (T, 1); mask rides lane-padded to (T, 8)
-        ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
-        grp = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
-        ind = (ch // cg == grp).astype(jnp.float32)  # (C, G)
-        count = jnp.sum(m) * cg
-        s_c = jnp.sum(xf * m, axis=0, keepdims=True)  # (1, C)
-        mean_g = jax.lax.dot_general(
-            s_c, ind, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / count
-        mean_c = jax.lax.dot_general(
-            mean_g, ind, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        xf = x_ref[...].astype(jnp.float32)  # (rb, T, C)
+        m = m_ref[:, :, 0:1]  # (rb, T, 1)
+        ind = _group_indicator(c, g)
+        count = jnp.sum(m, axis=1) * cg  # (rb, 1)
+        s_c = jnp.sum(xf * m, axis=1)  # (rb, C)
+        mean_c = _gdot(_gdot(s_c, ind) / count, ind.T)
+        d = xf - mean_c[:, None, :]
+        ss_c = jnp.sum(jnp.square(d * m), axis=1)
+        rstd_c = _gdot(
+            jax.lax.rsqrt(_gdot(ss_c, ind) / count + eps), ind.T
         )
-        d = xf - mean_c
-        ss_c = jnp.sum(jnp.square(d * m), axis=0, keepdims=True)
-        var_g = jax.lax.dot_general(
-            ss_c, ind, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / count
-        rstd_c = jax.lax.dot_general(
-            jax.lax.rsqrt(var_g + eps), ind, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out = d * rstd_c * s_ref[0] + b_ref[0]
+        out = d * rstd_c[:, None, :] * s_ref[0] + b_ref[0]
         if act == "silu":
             out = out * jax.lax.logistic(out)
-        o_ref[0] = out.astype(o_ref.dtype)
+        o_ref[...] = out.astype(o_ref.dtype)
 
     return pl.pallas_call(
         body,
-        grid=(b,),
+        grid=(b // rb,),
         in_specs=[
-            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, t, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, t, 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, t, 8), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((rb, t, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         interpret=interpret,
     )(
@@ -195,30 +194,32 @@ def layer_norm_pallas(x, scale, bias, eps: float = 1e-5,
                       interpret: bool = False):
     """LayerNorm over the last axis of (B, T, C) with f32 statistics.
 
-    Blocked along T (per-row statistics), so any sequence length works.
+    Blocked along T (per-row statistics), so any sequence length works;
+    batch rows pack into the same block up to the VMEM budget.
     """
     from jax.experimental import pallas as pl
 
     b, t, c = x.shape
     bt = _pick_block(t)
+    rb = _row_block(b, bt, c)
 
     def body(x_ref, s_ref, b_ref, o_ref):
-        xf = x_ref[0].astype(jnp.float32)  # (bt, C)
+        xf = x_ref[...].astype(jnp.float32)  # (rb, bt, C)
         mean = jnp.sum(xf, axis=-1, keepdims=True) / c
         d = xf - mean
         var = jnp.sum(d * d, axis=-1, keepdims=True) / c
         out = d * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]
-        o_ref[0] = out.astype(o_ref.dtype)
+        o_ref[...] = out.astype(o_ref.dtype)
 
     return pl.pallas_call(
         body,
-        grid=(b, t // bt),
+        grid=(b // rb, t // bt),
         in_specs=[
-            pl.BlockSpec((1, bt, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((rb, bt, c), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bt, c), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((rb, bt, c), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         interpret=interpret,
     )(
