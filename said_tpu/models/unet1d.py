@@ -66,14 +66,29 @@ class GroupNorm32(nn.Module):
     num_groups: int = 32
     eps: float = 1e-5
     act: str = "none"
+    # False in sequence-parallel mode: the Pallas kernels carry no
+    # frame-sharding rule (GroupNorm statistics span the whole frame
+    # axis), so GSPMD would gather around them; the jnp forms partition
+    # natively (XLA emits the cross-shard stat reductions).
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, seq_mask=None) -> jnp.ndarray:
+        from said_tpu.ops.norms import _group_norm_jnp, _group_norm_masked_jnp
+
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         if seq_mask is None:
+            if not self.fused:
+                return _group_norm_jnp(
+                    x, self.num_groups, scale, bias, self.eps, self.act
+                )
             return group_norm(x, self.num_groups, scale, bias, self.eps, self.act)
+        if not self.fused:
+            return _group_norm_masked_jnp(
+                x, self.num_groups, scale, bias, seq_mask, self.eps, self.act
+            )
         return group_norm_masked(
             x, self.num_groups, scale, bias, seq_mask, self.eps, self.act
         )
@@ -83,12 +98,17 @@ class LayerNormF32(nn.Module):
     """LayerNorm with float32 statistics."""
 
     eps: float = 1e-5
+    fused: bool = True  # see GroupNorm32.fused
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from said_tpu.ops.norms import _layer_norm_jnp
+
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if not self.fused:
+            return _layer_norm_jnp(x, scale, bias, self.eps)
         return layer_norm_f32(x, scale, bias, self.eps)
 
 
@@ -136,6 +156,7 @@ class ResBlock1D(nn.Module):
     out_channels: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused_kernels: bool = True
 
     @nn.compact
     def __call__(
@@ -155,7 +176,7 @@ class ResBlock1D(nn.Module):
             m = seq_mask[None, :, None] if seq_mask.ndim == 1 else seq_mask[:, :, None]
             return v * m.astype(v.dtype)
 
-        h = GroupNorm32(name="in_norm", act="silu")(x, seq_mask)
+        h = GroupNorm32(name="in_norm", act="silu", fused=self.fused_kernels)(x, seq_mask)
         h = Conv3(self.out_channels, dtype=self.dtype, name="in_conv")(
             zero_pads(h)
         )
@@ -164,7 +185,7 @@ class ResBlock1D(nn.Module):
         e = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(e)
         h = h + e[:, None, :].astype(h.dtype)
 
-        h = GroupNorm32(name="out_norm", act="silu")(h, seq_mask)
+        h = GroupNorm32(name="out_norm", act="silu", fused=self.fused_kernels)(h, seq_mask)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = Conv3(
             self.out_channels,
@@ -255,6 +276,7 @@ class FeedForward(nn.Module):
     mult: int = 4
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused_kernels: bool = True  # see GroupNorm32.fused
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -262,7 +284,7 @@ class FeedForward(nn.Module):
         inner = dim * self.mult
         w1, b1 = _DenseParams(inner * 2, name="proj")(dim)
         w2, b2 = _DenseParams(dim, name="out")(inner)
-        if deterministic:
+        if deterministic and self.fused_kernels:
             from said_tpu.ops.pallas_ffn import geglu_ffn
 
             return geglu_ffn(x, w1, b1, w2, b2)
@@ -287,6 +309,7 @@ class BasicTransformerBlock(nn.Module):
     self_attn_impl: str = "dense"
     cross_attn_impl: str = "banded"
     align_pad: int = 1
+    fused_kernels: bool = True
 
     @nn.compact
     def __call__(
@@ -327,7 +350,7 @@ class BasicTransformerBlock(nn.Module):
         x = x + CrossAttention(
             self.heads, self.dim_head, self.dropout, self.dtype, name="attn1"
         )(
-            LayerNormF32(name="norm1")(x),
+            LayerNormF32(name="norm1", fused=self.fused_kernels)(x),
             mask=self_mask,
             impl=self_impl,
             deterministic=deterministic,
@@ -358,7 +381,7 @@ class BasicTransformerBlock(nn.Module):
         x = x + CrossAttention(
             self.heads, self.dim_head, self.dropout, self.dtype, name="attn2"
         )(
-            LayerNormF32(name="norm2")(x),
+            LayerNormF32(name="norm2", fused=self.fused_kernels)(x),
             context=context,
             mask=mask,
             band=band,
@@ -366,8 +389,14 @@ class BasicTransformerBlock(nn.Module):
             deterministic=deterministic,
             kv_cache=kv_cache,
         )
-        x = x + FeedForward(dropout=self.dropout, dtype=self.dtype, name="ff")(
-            LayerNormF32(name="norm3")(x), deterministic=deterministic
+        x = x + FeedForward(
+            dropout=self.dropout,
+            dtype=self.dtype,
+            fused_kernels=self.fused_kernels,
+            name="ff",
+        )(
+            LayerNormF32(name="norm3", fused=self.fused_kernels)(x),
+            deterministic=deterministic,
         )
         return x
 
@@ -386,6 +415,7 @@ class SpatialTransformer(nn.Module):
     dtype: Any = jnp.float32
     self_attn_impl: str = "dense"
     cross_attn_impl: str = "banded"
+    fused_kernels: bool = True
 
     @nn.compact
     def __call__(
@@ -398,7 +428,9 @@ class SpatialTransformer(nn.Module):
         seq_len_real=None,
     ) -> jnp.ndarray:
         x_in = x
-        h = GroupNorm32(num_groups=32, eps=1e-6, name="norm")(x, seq_mask)
+        h = GroupNorm32(
+            num_groups=32, eps=1e-6, name="norm", fused=self.fused_kernels
+        )(x, seq_mask)
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads,
@@ -407,6 +439,7 @@ class SpatialTransformer(nn.Module):
                 self.dtype,
                 self_attn_impl=self.self_attn_impl,
                 cross_attn_impl=self.cross_attn_impl,
+                fused_kernels=self.fused_kernels,
                 name=f"block_{d}",
             )(
                 h,
@@ -502,6 +535,9 @@ class UNet1DConditionModel(nn.Module):
             if emb.ndim == 1:
                 emb = jnp.broadcast_to(emb[None, :], (b, emb.shape[0]))
 
+        # Sequence-parallel mode keeps the per-frame-shardable jnp ops so
+        # GSPMD partitions them (the opaque kernels would force gathers).
+        fused_kernels = self.self_attn_impl != "flash_sp"
         st_kwargs = dict(
             heads=heads,
             dim_head=dim_head,
@@ -509,6 +545,7 @@ class UNet1DConditionModel(nn.Module):
             dtype=self.dtype,
             self_attn_impl=self.self_attn_impl,
             cross_attn_impl=self.cross_attn_impl,
+            fused_kernels=fused_kernels,
         )
 
         # Gradient checkpointing (the reference ships the mechanism at
@@ -522,9 +559,9 @@ class UNet1DConditionModel(nn.Module):
             st_cls = nn.remat(SpatialTransformer, static_argnums=(3,))
 
         def res(name, h, _emb=None):
-            return res_cls(mc, self.dropout, self.dtype, name=name)(
-                h, emb if _emb is None else _emb, deterministic, seq_mask
-            )
+            return res_cls(
+                mc, self.dropout, self.dtype, fused_kernels, name=name
+            )(h, emb if _emb is None else _emb, deterministic, seq_mask)
 
         def st(name, h):
             return st_cls(**st_kwargs, name=name)(
@@ -560,7 +597,7 @@ class UNet1DConditionModel(nn.Module):
         o = res("output_res1", o)
         o = st("output_attn1", o)
 
-        o = GroupNorm32(name="out_norm", act="silu")(o, seq_mask)
+        o = GroupNorm32(name="out_norm", act="silu", fused=fused_kernels)(o, seq_mask)
         if seq_mask is not None:
             m = seq_mask[None, :, None] if seq_mask.ndim == 1 else seq_mask[:, :, None]
             o = o * m.astype(o.dtype)
