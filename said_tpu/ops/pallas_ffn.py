@@ -86,12 +86,13 @@ def geglu_ffn_pallas(x, w1, b1, w2, b2, block_t: int = 512,
     bt = min(block_t, t)
     if t % bt:
         bt = t
-    # Pack batch rows into the block up to ~1024 frame-rows per grid
-    # step (the f32 projection temp is rows x 2I x 4 B) — per-row grids
-    # pay the grid-step overhead B times per call at serving batch sizes.
-    rb = min(b, max(1, 1024 // bt))
-    while b % rb:
-        rb -= 1
+    # Pack batch rows into the block so the f32 projection temp
+    # (rows × 2I × 4 B) stays within ~6 MB of VMEM — per-row grids pay
+    # the grid-step overhead B times per call at serving batch sizes.
+    from said_tpu.ops.pallas_norms import largest_divisor
+
+    rows_cap = max(1, (6 * 1024 * 1024) // (inner2 * 4))
+    rb = largest_divisor(b, max(1, rows_cap // bt))
     dtype = x.dtype
 
     def erf(x):

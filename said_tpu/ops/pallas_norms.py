@@ -37,13 +37,17 @@ import jax.numpy as jnp
 _MAX_TC_VMEM = 4096 * 192
 
 
-def _row_block(b: int, t: int, c: int) -> int:
-    """Largest divisor of b whose (rb, t, c) block fits the VMEM budget."""
-    cap = max(1, _MAX_TC_VMEM // (t * c))
-    rb = min(b, cap)
+def largest_divisor(b: int, cap: int) -> int:
+    """Largest divisor of b that is ≤ cap (≥ 1)."""
+    rb = max(1, min(b, cap))
     while b % rb:
         rb -= 1
     return rb
+
+
+def _row_block(b: int, t: int, c: int) -> int:
+    """Largest divisor of b whose (rb, t, c) block fits the VMEM budget."""
+    return largest_divisor(b, max(1, _MAX_TC_VMEM // (t * c)))
 
 
 def _group_indicator(c: int, g: int):
@@ -53,9 +57,18 @@ def _group_indicator(c: int, g: int):
 
 
 def _gdot(a, m):
-    """(rb, C) @ (C, G) group reduce (or its transpose broadcast)."""
+    """(rb, C) @ (C, G) group reduce (or its transpose broadcast).
+
+    HIGHEST precision is load-bearing: at default precision the TPU
+    matmul rounds its f32 inputs to bf16, which would put ~1e-2 error
+    on every group statistic (the per-row rb=1 shape happened to avoid
+    the bf16 path; the row-packed shapes do not). The one-hot matmuls
+    are tiny, so exactness is free.
+    """
     return jax.lax.dot_general(
-        a, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -134,3 +134,38 @@ def test_group_norm_masked_grads_match_jnp(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b2), atol=1e-4, rtol=1e-4
         )
+
+
+def test_row_blocked_grid_multiple_steps():
+    """b // rb > 1: the batch index_map must address each row block
+    (a collapsed index map would silently reuse block 0's rows)."""
+    from said_tpu.ops.pallas_norms import _row_block, group_norm_pallas
+
+    b, t, c, g = 4, 2048, 192, 32
+    rb = _row_block(b, t, c)
+    assert 1 <= rb < b  # the shape must actually exercise multiple steps
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((b, t, c)) * 2 + 1, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    from said_tpu.ops.norms import _group_norm_jnp
+
+    ref = _group_norm_jnp(x, g, scale, bias)
+    got = group_norm_pallas(x, scale, bias, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_ffn_row_blocked_grid_multiple_steps():
+    from said_tpu.ops.pallas_ffn import _geglu_ffn_jnp, geglu_ffn_pallas
+
+    rng = np.random.default_rng(7)
+    b, t, c = 8, 256, 192  # rb=4 -> grid (2, 1)
+    inner = c * 4
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, inner * 2)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(inner * 2) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((inner, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    ref = _geglu_ffn_jnp(x, w1, b1, w2, b2)
+    got = geglu_ffn_pallas(x, w1, b1, w2, b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
