@@ -42,6 +42,19 @@ def _geglu_ffn_jnp(x, w1, b1, w2, b2):
     return out.astype(dt)
 
 
+def ffn_blocks(b: int, t: int, inner2: int, block_t: int = 512):
+    """(row_block, t_block) keeping the f32 (rows, 2I) projection temp
+    within ~6 MB of VMEM; (None, None) when no dividing block exists
+    (fall back to jnp rather than hold a whole pathological row)."""
+    from said_tpu.ops.pallas_norms import _pick_block, largest_divisor
+
+    bt = _pick_block(t, block_t)
+    rows_cap = max(1, (6 * 1024 * 1024) // (inner2 * 4))
+    if bt > rows_cap:
+        return None, None
+    return largest_divisor(b, max(1, rows_cap // bt)), bt
+
+
 @jax.custom_vjp
 def geglu_ffn(x, w1, b1, w2, b2):
     """Routed GEGLU feed-forward: Pallas kernel on TPU, jnp elsewhere.
@@ -83,16 +96,11 @@ def geglu_ffn_pallas(x, w1, b1, w2, b2, block_t: int = 512,
     b, t, c = x.shape
     inner2 = w1.shape[1]
     inner = inner2 // 2
-    bt = min(block_t, t)
-    if t % bt:
-        bt = t
-    # Pack batch rows into the block so the f32 projection temp
-    # (rows × 2I × 4 B) stays within ~6 MB of VMEM — per-row grids pay
-    # the grid-step overhead B times per call at serving batch sizes.
-    from said_tpu.ops.pallas_norms import largest_divisor
-
-    rows_cap = max(1, (6 * 1024 * 1024) // (inner2 * 4))
-    rb = largest_divisor(b, max(1, rows_cap // bt))
+    rb, bt = ffn_blocks(b, t, inner2, block_t)
+    if rb is None:
+        # no viable block (pathological T with no small divisor):
+        # whole-row blocks would overrun VMEM — run the jnp twin
+        return _geglu_ffn_jnp(x, w1, b1, w2, b2)
     dtype = x.dtype
 
     def erf(x):

@@ -214,6 +214,12 @@ def layer_norm_pallas(x, scale, bias, eps: float = 1e-5,
 
     b, t, c = x.shape
     bt = _pick_block(t)
+    if bt * c > _MAX_TC_VMEM:
+        # pathological T with no small divisor: a whole-row block would
+        # overrun VMEM — let the caller's jnp twin handle it
+        from said_tpu.ops.norms import _layer_norm_jnp
+
+        return _layer_norm_jnp(x, scale, bias, eps)
     rb = _row_block(b, bt, c)
 
     def body(x_ref, s_ref, b_ref, o_ref):

@@ -28,13 +28,16 @@ import numpy as np
 from jax import lax
 
 
-def gn_old(x, g, scale, bias, eps=1e-5):
+def gn_old(x, g, scale, bias, eps=1e-5, act="none"):
     b, t, c = x.shape
     xf = x.astype(jnp.float32).reshape(b, t, g, c // g)
     mean = xf.mean(axis=(1, 3), keepdims=True)
     var = xf.var(axis=(1, 3), keepdims=True)
     xf = (xf - mean) / jnp.sqrt(var + eps)
-    return (xf.reshape(b, t, c) * scale + bias).astype(x.dtype)
+    out = xf.reshape(b, t, c) * scale + bias
+    if act == "silu":
+        out = out * jax.lax.logistic(out)
+    return out.astype(x.dtype)
 
 
 def ln_old(x, scale, bias, eps=1e-5):
@@ -44,7 +47,7 @@ def ln_old(x, scale, bias, eps=1e-5):
     return (((xf - mean) / jnp.sqrt(var + eps)) * scale + bias).astype(x.dtype)
 
 
-def gn_fused(x, g, scale, bias, eps=1e-5):
+def gn_fused(x, g, scale, bias, eps=1e-5, act="none"):
     b, t, c = x.shape
     n = t * (c // g)
     xg = x.reshape(b, t, g, c // g)
@@ -52,7 +55,10 @@ def gn_fused(x, g, scale, bias, eps=1e-5):
     centered = xg.astype(jnp.float32) - mean
     var = jnp.sum(jnp.square(centered), axis=(1, 3), keepdims=True) / n
     out = centered * jax.lax.rsqrt(var + eps)
-    return (out.reshape(b, t, c) * scale + bias).astype(x.dtype)
+    out = out.reshape(b, t, c) * scale + bias
+    if act == "silu":
+        out = out * jax.lax.logistic(out)
+    return out.astype(x.dtype)
 
 
 def ln_fused(x, scale, bias, eps=1e-5):
@@ -63,7 +69,7 @@ def ln_fused(x, scale, bias, eps=1e-5):
     return (centered * jax.lax.rsqrt(var + eps) * scale + bias).astype(x.dtype)
 
 
-def gn_lane(x, g, scale, bias, eps=1e-5):
+def gn_lane(x, g, scale, bias, eps=1e-5, act="none"):
     b, t, c = x.shape
     n = t * (c // g)
     s = jnp.sum(x, axis=1, dtype=jnp.float32)  # (B, C) sublane reduce
@@ -73,10 +79,13 @@ def gn_lane(x, g, scale, bias, eps=1e-5):
     ss = jnp.sum(d * d, axis=1)  # (B, C)
     var_g = ss.reshape(b, g, c // g).sum(-1) / n
     rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + eps), c // g, axis=-1)[:, None, :]
-    return (d * rstd_c * scale + bias).astype(x.dtype)
+    out = d * rstd_c * scale + bias
+    if act == "silu":
+        out = out * jax.lax.logistic(out)
+    return out.astype(x.dtype)
 
 
-def gn_lane1(x, g, scale, bias, eps=1e-5):
+def gn_lane1(x, g, scale, bias, eps=1e-5, act="none"):
     b, t, c = x.shape
     n = t * (c // g)
     xf = x.astype(jnp.float32)
@@ -86,7 +95,10 @@ def gn_lane1(x, g, scale, bias, eps=1e-5):
     var_g = ss.reshape(b, g, c // g).sum(-1) / n - mean_g * mean_g
     mean_c = jnp.repeat(mean_g, c // g, axis=-1)[:, None, :]
     rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + eps), c // g, axis=-1)[:, None, :]
-    return ((xf - mean_c) * rstd_c * scale + bias).astype(x.dtype)
+    out = (xf - mean_c) * rstd_c * scale + bias
+    if act == "silu":
+        out = out * jax.lax.logistic(out)
+    return out.astype(x.dtype)
 
 
 VARIANTS = {

@@ -102,8 +102,11 @@ def main():
     real_gn = U.group_norm
     real_ln = U.layer_norm_f32
 
-    def gn_affine(x, g, scale, bias, eps=1e-5):
-        return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
+    def gn_affine(x, g, scale, bias, eps=1e-5, act="none"):
+        out = x.astype(jnp.float32) * scale + bias
+        if act == "silu":
+            out = out * jax.lax.logistic(out)
+        return out.astype(x.dtype)
 
     def ln_affine(x, scale, bias, eps=1e-5):
         return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
@@ -114,7 +117,7 @@ def main():
     U.layer_norm_f32 = real_ln
     timed_unet("gn_affine_ln_real")
 
-    def gn_lanefriendly(x, g, scale, bias, eps=1e-5):
+    def gn_lanefriendly(x, g, scale, bias, eps=1e-5, act="none"):
         b, t, c = x.shape
         xf = x.astype(jnp.float32)
         s = xf.sum(axis=1)  # (B, C), lane-preserving
@@ -125,7 +128,10 @@ def main():
         var_g = ss.reshape(b, g, c // g).sum(-1) / (t * (c // g))
         rstd_c = jax.lax.rsqrt(var_g + eps)
         rstd_c = jnp.repeat(rstd_c, c // g, axis=-1)[:, None, :]
-        return (d * rstd_c * scale + bias).astype(x.dtype)
+        out = d * rstd_c * scale + bias
+        if act == "silu":
+            out = out * jax.lax.logistic(out)
+        return out.astype(x.dtype)
 
     U.group_norm = gn_lanefriendly
     timed_unet("gn_lanefriendly")

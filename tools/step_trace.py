@@ -49,23 +49,28 @@ def main():
     x0 = jnp.asarray(rng.standard_normal((B, T, 32)), jnp.float32)
 
     @jax.jit
-    def loop(x):
+    def loop(x, kv_in, emb_in):
+        # caches ride as ARGUMENTS — closing over them bakes ~B·T·many
+        # bf16 literals into the HLO (the remote compiler rejects >~50MB
+        # request bodies at long T, and constants get worse layouts)
         def body(carry, _):
             out = model.apply(
                 {"params": params}, carry, jnp.full((B,), 500, jnp.int32),
-                None, deterministic=True, kv_caches=kv, emb=embt[500],
+                None, deterministic=True, kv_caches=kv_in, emb=emb_in[500],
             )
             return out.astype(carry.dtype).reshape(carry.shape), ()
         out, _ = lax.scan(body, x, None, length=N)
         return out.astype(jnp.float32).sum()
 
     if args.hlo:
-        open("/tmp/hlo.txt", "w").write(loop.lower(x0).compile().as_text())
+        open("/tmp/hlo.txt", "w").write(
+            loop.lower(x0, kv, embt).compile().as_text()
+        )
         print("HLO -> /tmp/hlo.txt")
 
-    float(loop(x0))  # compile + warm
+    float(loop(x0, kv, embt))  # compile + warm
     jax.profiler.start_trace(args.out)
-    float(loop(x0))
+    float(loop(x0, kv, embt))
     jax.profiler.stop_trace()
 
     traces = sorted(glob.glob(f"{args.out}/plugins/profile/*/*.trace.json.gz"))
