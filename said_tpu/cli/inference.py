@@ -60,8 +60,8 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "--seq_shards", type=int, default=0,
         help="sequence-parallel sampling: shard the frame axis over this "
-             "many devices (pads the clip so the frame count divides; "
-             "forces the flash_sp attention partitioning rule)",
+             "many devices (pads the clip so the shard count divides the "
+             "frame count; uses the flash_sp attention partitioning rule)",
     )
     parser.add_argument(
         "--profile_dir", type=str, default="",
@@ -86,8 +86,15 @@ def main(argv=None) -> None:
     divisor = args.divisor_unet
     attn_impl = args.attn_impl
     if args.seq_shards > 1:
+        import math
+
         from jax.sharding import Mesh
 
+        if attn_impl not in ("auto", "flash_sp"):
+            raise SystemExit(
+                f"--seq_shards requires the flash_sp attention partitioning "
+                f"rule; drop --attn_impl {attn_impl} (or --seq_shards)"
+            )
         devices = jax.devices()
         if len(devices) < args.seq_shards:
             raise SystemExit(
@@ -95,9 +102,7 @@ def main(argv=None) -> None:
             )
         seq_mesh = Mesh(np.asarray(devices[: args.seq_shards]), ("seq",))
         attn_impl = "flash_sp"
-        divisor = args.divisor_unet * args.seq_shards // np.gcd(
-            args.divisor_unet, args.seq_shards
-        )
+        divisor = math.lcm(args.divisor_unet, args.seq_shards)
 
     model = build_said_model(
         prediction_type=args.prediction_type,

@@ -376,6 +376,18 @@ class SAIDPipeline:
         c = self.model.in_channels
 
         dynamic = length_bucket > 0
+        if seq_mesh is not None:
+            # validate BEFORE compiling/running the prepare program (a
+            # long clip's encoder compile takes minutes)
+            if dynamic:
+                raise ValueError("seq_mesh is exclusive with length_bucket")
+            n_seq = seq_mesh.shape["seq"]
+            if window_size % n_seq:
+                raise ValueError(
+                    f"the seq axis size ({n_seq}) must divide the frame "
+                    f"count ({window_size}); pad the clip via "
+                    "fit_audio_unet(divisor=...)"
+                )
         window_real, t_a_real = window_size, t_a
         if waveform_lengths is not None:
             if not dynamic:
@@ -447,14 +459,6 @@ class SAIDPipeline:
             window_real_arg,
         )
         if seq_mesh is not None:
-            if dynamic:
-                raise ValueError("seq_mesh is exclusive with length_bucket")
-            n_seq = seq_mesh.shape["seq"]
-            if window_size % n_seq:
-                raise ValueError(
-                    f"frame count {window_size} must divide the seq axis "
-                    f"({n_seq}); pad the clip via fit_audio_unet(divisor=...)"
-                )
             kv_caches = _shard_seq_tree(kv_caches, seq_mesh, window_size)
             latents, init_arg, mask_arg = (
                 _shard_seq_tree(x, seq_mesh, window_size)

@@ -137,7 +137,7 @@ def test_sp_rejects_indivisible_frames():
     params = init_said_params(model, seed=0)
     pipeline = SAIDPipeline(model, params)
     wave = process_audio(np.zeros((1, 27200), np.float32))  # 102 frames
-    with pytest.raises(ValueError, match="divide the seq axis"):
+    with pytest.raises(ValueError, match="must divide the frame count"):
         pipeline.inference(
             waveform_processed=wave,
             num_inference_steps=2,

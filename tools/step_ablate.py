@@ -21,11 +21,15 @@ from jax import lax
 
 
 def slope_time(make_loop, iters):
-    lo, hi = make_loop(max(iters // 4, 1)), make_loop(iters)
+    iters = max(iters, 2)  # slope needs two distinct lengths
+    lo_n = max(iters // 4, 1)
+    if lo_n == iters:
+        lo_n = iters - 1
+    lo, hi = make_loop(lo_n), make_loop(iters)
     float(lo()); float(hi())
     t0 = time.perf_counter(); float(lo()); t_lo = time.perf_counter() - t0
     t0 = time.perf_counter(); float(hi()); t_hi = time.perf_counter() - t0
-    return (t_hi - t_lo) / (iters - max(iters // 4, 1))
+    return (t_hi - t_lo) / (iters - lo_n)
 
 
 def main():
@@ -76,19 +80,25 @@ def main():
 
     base = timed_unet("full")
 
-    U.banded_attention_cached = lambda q, k_win, v_win, valid, h: jnp.zeros_like(q)
-    no_cross = timed_unet("no_cross_banded")
-    U.banded_attention_cached = real_banded
+    try:
+        U.banded_attention_cached = (
+            lambda q, k_win, v_win, valid, h: jnp.zeros_like(q)
+        )
+        no_cross = timed_unet("no_cross_banded")
+        U.banded_attention_cached = real_banded
 
-    U.multi_head_attention = (
-        lambda q, k, v, h, mask=None, impl=None, band=None, lengths=None: q
-    )
-    no_self = timed_unet("no_self_attn")
+        U.multi_head_attention = (
+            lambda q, k, v, h, mask=None, impl=None, band=None, lengths=None: q
+        )
+        no_self = timed_unet("no_self_attn")
 
-    U.banded_attention_cached = lambda q, k_win, v_win, valid, h: jnp.zeros_like(q)
-    no_both = timed_unet("no_both_attn")
-    U.banded_attention_cached = real_banded
-    U.multi_head_attention = real_mha
+        U.banded_attention_cached = (
+            lambda q, k_win, v_win, valid, h: jnp.zeros_like(q)
+        )
+        no_both = timed_unet("no_both_attn")
+    finally:
+        U.banded_attention_cached = real_banded
+        U.multi_head_attention = real_mha
 
     print(f"{'cross in-situ':>24}: {(base-no_cross)*1e3:7.3f} ms")
     print(f"{'self in-situ':>24}: {(base-no_self)*1e3:7.3f} ms")
@@ -111,11 +121,14 @@ def main():
     def ln_affine(x, scale, bias, eps=1e-5):
         return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
 
-    U.group_norm = gn_affine
-    U.layer_norm_f32 = ln_affine
-    timed_unet("norms_affine_only")
-    U.layer_norm_f32 = real_ln
-    timed_unet("gn_affine_ln_real")
+    try:
+        U.group_norm = gn_affine
+        U.layer_norm_f32 = ln_affine
+        timed_unet("norms_affine_only")
+        U.layer_norm_f32 = real_ln
+        timed_unet("gn_affine_ln_real")
+    finally:
+        U.layer_norm_f32 = real_ln
 
     def gn_lanefriendly(x, g, scale, bias, eps=1e-5, act="none"):
         b, t, c = x.shape
@@ -133,9 +146,11 @@ def main():
             out = out * jax.lax.logistic(out)
         return out.astype(x.dtype)
 
-    U.group_norm = gn_lanefriendly
-    timed_unet("gn_lanefriendly")
-    U.group_norm = real_gn
+    try:
+        U.group_norm = gn_lanefriendly
+        timed_unet("gn_lanefriendly")
+    finally:
+        U.group_norm = real_gn
 
 
 if __name__ == "__main__":
