@@ -363,10 +363,14 @@ class SAIDPipeline:
         the banded K/V caches are sharded along the frame axis; GSPMD
         partitions convs/norms spatially and the flash kernel's
         custom-partitioning rule keeps attention blockwise (build the
-        model with ``self_attn_impl="flash_sp"``). Requires the frame
-        count to divide the axis size (pad the clip via
+        model with ``self_attn_impl="flash_sp"``). Requires the seq-axis
+        size to divide the frame count (pad the clip via
         ``fit_audio_unet(divisor=...)``) and is exclusive with
-        ``length_bucket``.
+        ``length_bucket``. Note: the once-per-clip ``prepare`` program
+        (audio encoder + cache build) still runs unsharded — SP
+        parallelizes the N-step denoise chain, which dominates at any
+        step count; a clip long enough to OOM the encoder itself would
+        additionally need a sharded prepare.
         """
         waveform_processed = jnp.asarray(waveform_processed)
         if waveform_processed.ndim == 1:
