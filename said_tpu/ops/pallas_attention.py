@@ -39,8 +39,8 @@ Kernels behind size-based routers. The production entry is
   accumulator scratch slabs carry across the sequential key axis, so
   VMEM usage is independent of S. The >4-minute-clip path.
 
-``flash_attention`` routes the secondary (B, T, H, D) API through the
-per-head-layout twins ``_flash_tpu_fullk`` / ``_flash_tpu_blocked``.
+``flash_attention`` is a thin (B, T, H, D) convenience wrapper over the
+same flat router (the head-merging reshape is free).
 
 Measured on v5e, XLA's dense attention wins below ~2k frames (the MXU
 is equally underfilled either way and XLA's fusions are free), so the
@@ -75,307 +75,6 @@ def _dense_reference(q, k, v, lengths=None):
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
-
-
-def _flatten_heads(q, k, v):
-    """(B, T, H, D) → (B·H, T, D) with scale·log2e folded into q."""
-    b, t, h, d = q.shape
-    s = k.shape[1]
-    qf = jnp.moveaxis(q, 2, 1).reshape(b * h, t, d)
-    kf = jnp.moveaxis(k, 2, 1).reshape(b * h, s, d)
-    vf = jnp.moveaxis(v, 2, 1).reshape(b * h, s, d)
-    qf = qf * jnp.asarray(d**-0.5 * _LOG2E, qf.dtype)
-    return qf, kf, vf
-
-
-def _augment_v(vf, s_pad):
-    """Pad keys axis to s_pad and append a ones column (denominator lane).
-
-    Padded key rows get a ZERO in the ones column so they contribute
-    nothing to the denominator even when unmasked — but masking is still
-    required for correctness of the max/exp, so straddling blocks mask.
-    """
-    bh, s, d = vf.shape
-    ones = jnp.ones((bh, s, 1), vf.dtype)
-    va = jnp.concatenate([vf, ones], axis=-1)
-    if s_pad > s:
-        va = jnp.pad(va, ((0, 0), (0, s_pad - s), (0, 0)))
-    return va
-
-
-@functools.partial(
-    jax.jit, static_argnames=("block_q", "has_lens", "interpret")
-)
-def _flash_tpu_fullk(q, k, v, lens_bh=None, block_q: int = 256,
-                     has_lens: bool = False, interpret: bool = False):
-    """q (B, T, H, D), k/v (B, S, H, D) → (B, T, H, D); whole K in VMEM.
-
-    ``lens_bh`` (B·H,) int32 per-row real key counts (scalar-prefetched)
-    when ``has_lens``; queries at/after their row's length are zero-filled
-    without computing.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, t, h, d = q.shape
-    s = k.shape[1]
-
-    t_pad = _round_up(t, block_q)
-    s_pad = _round_up(s, 128)
-
-    qf, kf, vf = _flatten_heads(q, k, v)
-    va = _augment_v(vf, s_pad)
-    if t_pad > t:
-        qf = jnp.pad(qf, ((0, 0), (0, t_pad - t), (0, 0)))
-    if s_pad > s:
-        kf = jnp.pad(kf, ((0, 0), (0, s_pad - s), (0, 0)))
-
-    num_q = t_pad // block_q
-    static_mask = s_pad > s  # padded key tail exists even without lens
-
-    def body(lens_ref, q_ref, k_ref, v_ref, o_ref):
-        qb = q_ref[0]  # (block_q, d), pre-scaled by scale·log2e
-        kb = k_ref[0]  # (s_pad, d)
-        vb = v_ref[0]  # (s_pad, d+1) ones-augmented
-
-        def compute(row_len):
-            s2 = jax.lax.dot_general(
-                qb, kb,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if has_lens or static_mask:
-                col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
-                s2 = jnp.where(col < row_len, s2, -jnp.inf)
-            m = jnp.max(s2, axis=-1, keepdims=True)
-            p = jnp.exp2(s2 - m)
-            acc = jax.lax.dot_general(
-                p.astype(vb.dtype), vb,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            o_ref[0] = (acc[:, :d] / acc[:, d:d + 1]).astype(o_ref.dtype)
-
-        if has_lens:
-            row_len = lens_ref[pl.program_id(0)]
-            q_start = pl.program_id(1) * block_q
-
-            @pl.when(q_start < row_len)
-            def _():
-                compute(row_len)
-
-            @pl.when(q_start >= row_len)
-            def _():
-                o_ref[0] = jnp.zeros_like(o_ref[0])
-        else:
-            compute(s)
-
-    grid = (b * h, num_q)
-    tensor_in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0)),
-        pl.BlockSpec((1, s_pad, d), lambda bh, qi, *_: (bh, 0, 0)),
-        pl.BlockSpec((1, s_pad, d + 1), lambda bh, qi, *_: (bh, 0, 0)),
-    ]
-    out_spec = pl.BlockSpec((1, block_q, d), lambda bh, qi, *_: (bh, qi, 0))
-    cost = pl.CostEstimate(
-        flops=2 * 2 * (b * h) * t_pad * s_pad * d,
-        bytes_accessed=(b * h)
-        * (t_pad * d * 2 + s_pad * d * 2 * num_q)
-        * q.dtype.itemsize,
-        transcendentals=(b * h) * t_pad * s_pad,
-    )
-
-    if has_lens:
-        kernel = body
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=tensor_in_specs,
-            out_specs=out_spec,
-        )
-        out = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(jnp.asarray(lens_bh, jnp.int32), qf, kf, va)
-    else:
-        def kernel(q_ref, k_ref, v_ref, o_ref):
-            body(None, q_ref, k_ref, v_ref, o_ref)
-
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=tensor_in_specs,
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=int(1024 * 1024 * 100),
-            ),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(qf, kf, va)
-
-    out = out[:, :t].reshape(b, h, t, d)
-    return jnp.moveaxis(out, 1, 2)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_q", "block_k", "has_lens", "interpret"),
-)
-def _flash_tpu_blocked(q, k, v, lens_bh=None, block_q: int = 512,
-                       block_k: int = 1024, has_lens: bool = False,
-                       interpret: bool = False):
-    """Online-softmax flash attention: q (B,T,H,D), k/v (B,S,H,D).
-
-    Grid (B·H, q_blocks, k_blocks) with the key axis innermost — TPU grid
-    steps run sequentially per core, so the float32 running-max and the
-    ones-augmented accumulator scratch carry across key blocks and the
-    (T, S) score matrix never exists outside VMEM. This is the
-    long-sequence path; short sequences route to XLA dense and mid
-    lengths to ``_flash_tpu_fullk`` (see ``flash_attention``).
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, t, h, d = q.shape
-    s = k.shape[1]
-
-    t_pad = _round_up(t, block_q)
-    s_pad = _round_up(s, block_k)
-
-    qf, kf, vf = _flatten_heads(q, k, v)
-    va = _augment_v(vf, s_pad)
-    if t_pad > t:
-        qf = jnp.pad(qf, ((0, 0), (0, t_pad - t), (0, 0)))
-    if s_pad > s:
-        kf = jnp.pad(kf, ((0, 0), (0, s_pad - s), (0, 0)))
-
-    num_q = t_pad // block_q
-    num_k = s_pad // block_k
-    last_k = num_k - 1
-    static_tail = s_pad > s  # last key block straddles the static end
-
-    def body(lens_ref, q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr):
-        ki = pl.program_id(2)
-
-        @pl.when(ki == 0)
-        def _init():
-            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-            acc_scr[...] = jnp.zeros_like(acc_scr)
-
-        if has_lens:
-            row_len = lens_ref[pl.program_id(0)]
-            q_start = pl.program_id(1) * block_q
-            # skip key blocks with no valid columns, and whole padded
-            # query blocks (their output is zero-filled at finalize)
-            run = jnp.logical_and(q_start < row_len, ki * block_k < row_len)
-        else:
-            row_len = s
-            run = True
-
-        @pl.when(run)
-        def _update():
-            qb = q_ref[0]
-            kb = k_ref[0]
-            vb = v_ref[0]
-            s2 = jax.lax.dot_general(
-                qb, kb,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if has_lens:
-                col = ki * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, s2.shape, 1
-                )
-                s2 = jnp.where(col < row_len, s2, -jnp.inf)
-            elif static_tail:
-                # only the last key block straddles the static end; the
-                # predicate folds to all-True on earlier blocks
-                col = ki * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, s2.shape, 1
-                )
-                s2 = jnp.where(
-                    jnp.logical_or(ki != last_k, col < s), s2, -jnp.inf
-                )
-            m_prev = m_scr[...]
-            m_new = jnp.maximum(m_prev, s2.max(axis=-1, keepdims=True))
-            p = jnp.exp2(s2 - m_new)
-            alpha = jnp.exp2(m_prev - m_new)
-            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-                p.astype(vb.dtype), vb,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            m_scr[...] = m_new
-
-        @pl.when(ki == last_k)
-        def _finalize():
-            acc = acc_scr[...]
-            denom = acc[:, d:d + 1]
-            if has_lens:
-                # fully-padded query blocks never ran: denom == 0
-                out = jnp.where(denom > 0, acc[:, :d] / denom, 0.0)
-            else:
-                out = acc[:, :d] / denom
-            o_ref[0] = out.astype(o_ref.dtype)
-
-    grid = (b * h, num_q, num_k)
-    tensor_in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, *_: (bh, qi, 0)),
-        pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, *_: (bh, ki, 0)),
-        pl.BlockSpec((1, block_k, d + 1), lambda bh, qi, ki, *_: (bh, ki, 0)),
-    ]
-    out_spec = pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, *_: (bh, qi, 0))
-    scratch = [
-        pltpu.VMEM((block_q, 1), jnp.float32),
-        pltpu.VMEM((block_q, d + 1), jnp.float32),
-    ]
-    params = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel", "arbitrary"),
-    )
-    cost = pl.CostEstimate(
-        flops=2 * 2 * (b * h) * t_pad * s_pad * d,
-        bytes_accessed=(b * h) * (t_pad + 2 * s_pad) * d * q.dtype.itemsize,
-        transcendentals=(b * h) * t_pad * s_pad,
-    )
-
-    if has_lens:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=tensor_in_specs,
-            out_specs=out_spec,
-            scratch_shapes=scratch,
-        )
-        out = pl.pallas_call(
-            body,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
-            compiler_params=params,
-            cost_estimate=cost,
-            interpret=interpret,
-        )(jnp.asarray(lens_bh, jnp.int32), qf, kf, va)
-    else:
-        def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr):
-            body(None, q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr)
-
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=tensor_in_specs,
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
-            scratch_shapes=scratch,
-            compiler_params=params,
-            cost_estimate=cost,
-            interpret=interpret,
-        )(qf, kf, va)
-
-    out = out[:, :t].reshape(b, h, t, d)
-    return jnp.moveaxis(out, 1, 2)
 
 
 @functools.partial(
@@ -840,21 +539,19 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     lengths=None) -> jnp.ndarray:
     """Attention over (B, T, H, D) tensors; Pallas on TPU, dense elsewhere.
 
-    ``lengths`` (B,) int32 — per-row REAL key/query counts for
-    length-bucketed / mixed-length batches. Rows are masked to their own
-    length (matching the dense masked path exactly on real frames;
-    padded query rows return zeros) and the kernels skip fully-padded
-    blocks, so the padded tail costs ~nothing.
+    Convenience wrapper over the production flat-layout router (the
+    head-merging reshape is free — the head axis is already adjacent to
+    the lane dim). ``lengths`` (B,) int32 — per-row REAL key/query
+    counts for length-bucketed / mixed-length batches; rows are masked
+    to their own length and the kernels skip fully-padded blocks.
     """
-    h = q.shape[2]
-    if jax.default_backend() != "tpu":
-        return _dense_reference(q, k, v, lengths=lengths)
-    if q.shape[1] <= _DENSE_MAX and k.shape[1] <= _DENSE_MAX:
-        return _dense_reference(q, k, v, lengths=lengths)
-    lens_bh = None
-    has_lens = lengths is not None
-    if has_lens:
-        lens_bh = jnp.repeat(jnp.asarray(lengths, jnp.int32), h)
-    if k.shape[1] <= _FULLK_MAX:
-        return _flash_tpu_fullk(q, k, v, lens_bh, has_lens=has_lens)
-    return _flash_tpu_blocked(q, k, v, lens_bh, has_lens=has_lens)
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    out = flash_attention_flat(
+        q.reshape(b, t, h * d),
+        k.reshape(b, s, h * d),
+        v.reshape(b, s, h * d),
+        h,
+        lengths=None if lengths is None else jnp.asarray(lengths, jnp.int32),
+    )
+    return out.reshape(b, t, h, d)

@@ -1,8 +1,8 @@
-"""Compare the >4-minute-clip attention paths on the real chip.
+"""Time the >4-minute-clip attention kernel on the real chip.
 
-Old router path: reshape flat -> (B,T,H,D) -> _flash_tpu_blocked (which
-transposes to (B*H, T, D) in-program). New path: _flash_tpu_packed_blocked
-straight on the flat (B, T, H*D) layout. Slope timing per the axon rule.
+_flash_tpu_packed_blocked on the flat (B, T, H*D) layout at several
+block sizes (the retired per-head-layout kernel measured ~16% slower;
+see git history). Slope timing per the axon rule.
 
 Usage: python tools/attn_longclip_probe.py [--lengths 14400,21600,28800]
 """
@@ -53,16 +53,7 @@ def main() -> None:
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
 
-    def old_path(q, k, v):
-        t, s = q.shape[1], k.shape[1]
-        out = pa._flash_tpu_blocked(
-            q.reshape(b, t, h, d), k.reshape(b, s, h, d),
-            v.reshape(b, s, h, d), None, has_lens=False,
-        )
-        return out.reshape(b, t, h * d)
-
     variants = {
-        "old_perhead_blocked": old_path,
         "packed_blocked": lambda q, k, v: pa._flash_tpu_packed_blocked(
             q, k, v, num_heads=h
         ),

@@ -71,14 +71,30 @@ def main() -> None:
 
     variants["xla_dense"] = pa._dense_reference
 
-    for bq, bk in [(512, 1024), (512, 2048), (1024, 1024)]:
-        variants[f"blocked_{bq}x{bk}"] = (
-            lambda q, k, v, bq=bq, bk=bk: pa._flash_tpu_blocked(q, k, v, block_q=bq, block_k=bk)
+    def flat(fn):
+        def run(q, k, v):
+            b_, t_, h_, d_ = q.shape
+            out = fn(
+                q.reshape(b_, t_, h_ * d_),
+                k.reshape(b_, k.shape[1], h_ * d_),
+                v.reshape(b_, v.shape[1], h_ * d_),
+                h_,
+            )
+            return out.reshape(b_, t_, h_, d_)
+        return run
+
+    for bq, bk in [(512, 1024), (512, 2048), (1024, 2048)]:
+        variants[f"packed_blocked_{bq}x{bk}"] = flat(
+            lambda q, k, v, h_, bq=bq, bk=bk: pa._flash_tpu_packed_blocked(
+                q, k, v, num_heads=h_, block_q=bq, block_k=bk
+            )
         )
 
     for bq in [128, 256, 512]:
-        variants[f"fullk_q{bq}"] = (
-            lambda q, k, v, bq=bq: pa._flash_tpu_fullk(q, k, v, block_q=bq)
+        variants[f"packed_q{bq}"] = flat(
+            lambda q, k, v, h_, bq=bq: pa._flash_tpu_packed(
+                q, k, v, num_heads=h_, block_q=bq
+            )
         )
 
     print(f"# backend={jax.default_backend()} B={b} H={h} D={d} dtype=bf16 iters={args.iters}")
