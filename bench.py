@@ -1,7 +1,11 @@
 """Benchmark: the full BASELINE.json metric set on one chip.
 
-Prints one JSON line per metric (first line = the headline RTF, same
-metric as round 1 for comparability):
+Prints one JSON line per metric, THE MOMENT it is computed (flushed),
+headline first — so a driver timeout loses only the not-yet-run tail,
+never completed results. A wall-clock budget (SAID_BENCH_BUDGET_S,
+default 1200 s) skips remaining metrics with an explicit
+``{"metric": ..., "skipped": "time_budget"}`` line instead of dying
+mid-measurement.
 
   rtf_1000step_b1        RTF of full 1000-step CFG sampling, 10 s clip
   rtf_1000step_b1_60s    same for a 60 s clip (T=3600 self-attention)
@@ -14,6 +18,10 @@ metric as round 1 for comparability):
                          (frozen encoder + UNet fwd/bwd + AdamW + EMA),
                          chained in one program so the measurement is
                          device-bound
+  sp_flash_on_chip       flash_sp custom-partitioning program executed on
+                         a real-TPU mesh (seq=1): proves the SP path
+                         compiles + runs on hardware, value = max |err|
+                         vs the unsharded kernel
 
 RTF = audio-seconds / wall-seconds for the complete pipeline (audio
 encoding + N DDIM steps with CFG, the whole chain one jitted lax.scan),
@@ -26,12 +34,52 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+_CACHE_DIR = os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
+)
 
 import jax
+
+# Some env vars are ignored by this jax build; set the cache dir through
+# the config API too so persistent-cache hits survive across processes.
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+except Exception:
+    pass
+
 import numpy as np
+
+_T0 = time.perf_counter()
+_BUDGET_S = float(os.environ.get("SAID_BENCH_BUDGET_S", "1200"))
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _note(msg: str) -> None:
+    print(f"[bench {_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(metric, value, unit, baseline=10.0):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": unit,
+                "vs_baseline": round(value / baseline, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _skip(metric, reason):
+    print(json.dumps({"metric": metric, "skipped": reason}), flush=True)
 
 
 def _unet_step_flops(t: int, batch: int = 2) -> float:
@@ -76,6 +124,7 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     num_steps = 1000 if on_tpu else 20
     dtype = "bfloat16" if on_tpu else "float32"
+    _note(f"backend={jax.default_backend()} budget={_BUDGET_S:.0f}s")
 
     model = build_said_model(dtype=dtype, attn_impl="auto")
     params = init_said_params(model, seed=0)
@@ -85,9 +134,9 @@ def main() -> None:
 
     def timed(batch, secs, n_iters, **kw):
         """Wall-seconds per pipeline.inference call (returns numpy, so the
-        timing is a true sync point even over the axon tunnel). One warm
-        call after compile lets compile-cache writes / tunnel state
-        settle; best of two trial groups guards against host noise."""
+        timing is a true sync point even over the axon tunnel). The
+        compile call doubles as the warm call; best-of-two trial groups
+        guards against host noise."""
         wave = rng.standard_normal((batch, int(sr * secs))).astype(np.float32)
         processed = process_audio(wave)
 
@@ -100,8 +149,9 @@ def main() -> None:
                 **kw,
             )
 
-        run(0)  # compile
-        run(0)  # settle
+        t0 = time.perf_counter()
+        run(0)  # compile (or cache hit) + warm
+        _note(f"  compile+warm {time.perf_counter() - t0:.1f}s")
         best = None
         for _ in range(2 if on_tpu else 1):
             t0 = time.perf_counter()
@@ -111,126 +161,163 @@ def main() -> None:
             best = wall if best is None else min(best, wall)
         return best
 
-    results = []
+    # Each entry: (names_it_emits, runner). Runner emits its own lines so
+    # every result hits stdout the moment it exists.
+    def m_headline():
+        secs_b1 = 10.0 if on_tpu else 0.5
+        wall = timed(1, secs_b1, 3 if on_tpu else 1)
+        _emit(f"rtf_{num_steps}step_b1", secs_b1 / wall, "x_realtime")
+        _emit(f"steps_per_sec_b1", num_steps / wall, "steps/s", baseline=100.0)
 
-    def emit(metric, value, unit, baseline=10.0):
-        results.append(
-            {
-                "metric": metric,
-                "value": round(value, 3),
-                "unit": unit,
-                "vs_baseline": round(value / baseline, 3),
-            }
+    def m_long():
+        secs_long = 60.0 if on_tpu else 1.0
+        wall = timed(1, secs_long, 2 if on_tpu else 1)
+        _emit(f"rtf_{num_steps}step_b1_60s", secs_long / wall, "x_realtime")
+        # Model-FLOPs utilization of the denoise chain (analytic FLOPs
+        # over the measured wall; includes the once-per-clip prepare
+        # program, so it slightly UNDERSTATES scan-region MFU). Peak:
+        # v5e bf16.
+        t_frames = int(secs_long * 60)
+        mfu = (
+            _unet_step_flops(t_frames, batch=2)
+            * num_steps
+            / wall
+            / 197e12
+            * 100
         )
+        _emit("mfu_denoise_60s_pct", mfu, "percent", baseline=100.0)
 
-    # 1. Headline: 10 s clip, batch 1 (round-1 metric, keep comparable).
-    secs_b1 = 10.0 if on_tpu else 0.5
-    wall = timed(1, secs_b1, 3 if on_tpu else 1)
-    emit(f"rtf_{num_steps}step_b1", secs_b1 / wall, "x_realtime")
-    emit(f"steps_per_sec_b1", num_steps / wall, "steps/s", baseline=100.0)
+    def m_b32():
+        b32 = 32 if on_tpu else 2
+        secs_b32 = 4.27 if on_tpu else 0.5
+        wall = timed(b32, secs_b32, 2 if on_tpu else 1)
+        _emit(f"steps_per_sec_b32", num_steps / wall, "steps/s", baseline=100.0)
+        _emit(f"rtf_{num_steps}step_b32", b32 * secs_b32 / wall, "x_realtime")
 
-    # 2. Long clip: 60 s (T=3600 frames) — the hard shape for attention.
-    secs_long = 60.0 if on_tpu else 1.0
-    wall = timed(1, secs_long, 2 if on_tpu else 1)
-    emit(f"rtf_{num_steps}step_b1_60s", secs_long / wall, "x_realtime")
-    # Model-FLOPs utilization of the denoise chain (analytic FLOPs over
-    # the measured wall; includes the once-per-clip prepare program, so
-    # it slightly UNDERSTATES the scan-region MFU). Peak: v5e bf16.
-    t_frames = int(secs_long * 60)
-    mfu = (
-        _unet_step_flops(t_frames, batch=2) * num_steps / wall / 197e12 * 100
-    )
-    emit("mfu_denoise_60s_pct", mfu, "percent", baseline=100.0)
+    def m_bucketed():
+        bucket = 256 if on_tpu else 64
+        lens_s = (3.1, 4.0, 2.4, 4.2) if on_tpu else (0.4, 0.5)
+        max_s = max(lens_s)
+        waves = rng.standard_normal(
+            (len(lens_s), int(sr * max_s))
+        ).astype(np.float32)
+        lengths = np.array([int(sr * s) for s in lens_s])
+        for i, n in enumerate(lengths):
+            waves[i, n:] = 0.0
+        processed = process_audio(waves)  # per-full-row normalization ok
 
-    # 3. Batch 32 at the eval-protocol clip length (~4.27 s).
-    b32 = 32 if on_tpu else 2
-    secs_b32 = 4.27 if on_tpu else 0.5
-    wall = timed(b32, secs_b32, 2 if on_tpu else 1)
-    emit(f"steps_per_sec_b32", num_steps / wall, "steps/s", baseline=100.0)
-    emit(f"rtf_{num_steps}step_b32", b32 * secs_b32 / wall, "x_realtime")
-
-    # 4. Bucketed mixed-length serving mode: one program, per-row lengths.
-    bucket = 256 if on_tpu else 64
-    lens_s = (3.1, 4.0, 2.4, 4.2) if on_tpu else (0.4, 0.5)
-    max_s = max(lens_s)
-    waves = rng.standard_normal((len(lens_s), int(sr * max_s))).astype(np.float32)
-    lengths = np.array([int(sr * s) for s in lens_s])
-    for i, n in enumerate(lengths):
-        waves[i, n:] = 0.0
-    processed = process_audio(waves)  # normalization per full row is fine here
-
-    def run_bucketed(seed):
-        return pipeline.inference(
-            waveform_processed=processed,
-            num_inference_steps=num_steps,
-            guidance_scale=2.0,
-            rng=jax.random.PRNGKey(seed),
-            length_bucket=bucket,
-            waveform_lengths=lengths,
-        )
-
-    run_bucketed(0)
-    run_bucketed(0)  # settle
-    iters = 2 if on_tpu else 1
-    wall = None
-    for _ in range(2 if on_tpu else 1):
-        t0 = time.perf_counter()
-        for i in range(iters):
-            run_bucketed(i + 1)
-        w = (time.perf_counter() - t0) / iters
-        wall = w if wall is None else min(wall, w)
-    emit("rtf_bucketed_mixed", sum(lens_s) / wall, "x_realtime")
-
-    # 5. Training step rate (batch 8, window 128, the reference's shape).
-    from jax import lax
-
-    from said_tpu.diffusion.schedule import DiffusionSchedule
-    from said_tpu.train.said_train import (
-        TrainConfig,
-        create_train_state,
-        make_train_step,
-    )
-
-    config = TrainConfig()
-    schedule = DiffusionSchedule.create(model.diffusion_steps)
-    state = create_train_state(config, init_said_params(model, seed=0))
-    bt, wt = (8, 128) if on_tpu else (2, 16)
-    batch = {
-        "waveform": jax.numpy.asarray(
-            process_audio(
-                rng.standard_normal((bt, (sr * wt) // 60)).astype(np.float32)
+        def run_bucketed(seed):
+            return pipeline.inference(
+                waveform_processed=processed,
+                num_inference_steps=num_steps,
+                guidance_scale=2.0,
+                rng=jax.random.PRNGKey(seed),
+                length_bucket=bucket,
+                waveform_lengths=lengths,
             )
-        ),
-        "coeffs": jax.numpy.asarray(
-            rng.uniform(0, 1, (bt, wt, 32)).astype(np.float32)
-        ),
-        "cond": jax.numpy.ones((bt,), bool),
-    }
-    step_fn = make_train_step(model, schedule, config)
 
-    n_train = 50 if on_tpu else 2
+        t0 = time.perf_counter()
+        run_bucketed(0)  # compile + warm
+        _note(f"  compile+warm {time.perf_counter() - t0:.1f}s")
+        iters = 2 if on_tpu else 1
+        wall = None
+        for _ in range(2 if on_tpu else 1):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                run_bucketed(i + 1)
+            w = (time.perf_counter() - t0) / iters
+            wall = w if wall is None else min(wall, w)
+        _emit("rtf_bucketed_mixed", sum(lens_s) / wall, "x_realtime")
 
-    @jax.jit
-    def chain_steps(state, keys):
-        def body(s, k):
-            s2, metrics = step_fn(s, batch, k)
-            # each step's loss depends on the previous step's FULL param
-            # update, so reducing the losses forces the entire chain
-            # (returning only a counter lets XLA DCE the training math)
-            return s2, metrics["loss"]
+    def m_train():
+        from jax import lax
 
-        _, losses = lax.scan(body, state, keys)
-        return losses.sum()
+        from said_tpu.diffusion.schedule import DiffusionSchedule
+        from said_tpu.train.said_train import (
+            TrainConfig,
+            create_train_state,
+            make_train_step,
+        )
 
-    keys = jax.random.split(jax.random.PRNGKey(0), n_train)
-    float(chain_steps(state, keys))  # compile + warm
-    t0 = time.perf_counter()
-    float(chain_steps(state, keys))
-    wall = (time.perf_counter() - t0) / n_train
-    emit("train_steps_per_sec", 1.0 / wall, "steps/s", baseline=100.0)
+        config = TrainConfig()
+        schedule = DiffusionSchedule.create(model.diffusion_steps)
+        state = create_train_state(config, init_said_params(model, seed=0))
+        bt, wt = (8, 128) if on_tpu else (2, 16)
+        batch = {
+            "waveform": jax.numpy.asarray(
+                process_audio(
+                    rng.standard_normal((bt, (sr * wt) // 60)).astype(
+                        np.float32
+                    )
+                )
+            ),
+            "coeffs": jax.numpy.asarray(
+                rng.uniform(0, 1, (bt, wt, 32)).astype(np.float32)
+            ),
+            "cond": jax.numpy.ones((bt,), bool),
+        }
+        step_fn = make_train_step(model, schedule, config)
 
-    for r in results:
-        print(json.dumps(r))
+        # 10 chained steps measure steady state identically to 50 but
+        # compile ~5x faster (the chain is unrolled by scan tracing once;
+        # XLA cost scales with the scan body, not length — the win is the
+        # smaller warm execution + faster trace).
+        n_train = 10 if on_tpu else 2
+
+        @jax.jit
+        def chain_steps(state, keys):
+            def body(s, k):
+                s2, metrics = step_fn(s, batch, k)
+                # each step's loss depends on the previous step's FULL
+                # param update, so reducing the losses forces the entire
+                # chain (returning only a counter lets XLA DCE the
+                # training math)
+                return s2, metrics["loss"]
+
+            _, losses = lax.scan(body, state, keys)
+            return losses.sum()
+
+        keys = jax.random.split(jax.random.PRNGKey(0), n_train)
+        t0 = time.perf_counter()
+        float(chain_steps(state, keys))  # compile + warm
+        _note(f"  compile+warm {time.perf_counter() - t0:.1f}s")
+        best = None
+        for _ in range(2 if on_tpu else 1):
+            t0 = time.perf_counter()
+            float(chain_steps(state, keys))
+            w = (time.perf_counter() - t0) / n_train
+            best = w if best is None else min(best, w)
+        _emit("train_steps_per_sec", 1.0 / best, "steps/s", baseline=100.0)
+
+    def m_sp_on_chip():
+        # Run the flash_sp custom-partitioning program on a real-device
+        # mesh (seq=1 on the single chip): proves the SP lowering
+        # compiles and executes on TPU hardware, not only on the virtual
+        # CPU mesh. Value = max abs error vs the unsharded flash kernel.
+        from tools.sp_probe import run_sp_probe
+
+        err = run_sp_probe()
+        _emit("sp_flash_on_chip_maxerr", err, "abs_err", baseline=1.0)
+
+    metrics = [
+        ("rtf_1000step_b1", m_headline),
+        ("rtf_1000step_b1_60s", m_long),
+        ("steps_per_sec_b32", m_b32),
+        ("rtf_bucketed_mixed", m_bucketed),
+        ("train_steps_per_sec", m_train),
+        ("sp_flash_on_chip_maxerr", m_sp_on_chip),
+    ]
+
+    for name, fn in metrics:
+        if _elapsed() > _BUDGET_S:
+            _skip(name, "time_budget")
+            continue
+        _note(f"metric {name} ...")
+        try:
+            fn()
+        except Exception as e:  # one failed metric must not kill the rest
+            _skip(name, f"error: {type(e).__name__}: {e}")
+    _note(f"done in {_elapsed():.1f}s")
 
 
 if __name__ == "__main__":

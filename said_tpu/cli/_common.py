@@ -13,6 +13,27 @@ from said_tpu.models.said import SAID
 from said_tpu.models.vae import BCVAE
 
 
+def str2bool(v) -> bool:
+    """Argparse bool that actually parses falsy strings.
+
+    The reference CLIs use ``type=bool`` (e.g.
+    ``script/inference.py:61``), under which ``--save_image False``
+    silently evaluates True (any non-empty string is truthy). This
+    keeps the same ``--flag True/False`` surface but parses
+    false/0/no/off correctly.
+    """
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("true", "1", "yes", "y", "on"):
+        return True
+    if s in ("false", "0", "no", "n", "off", ""):
+        return False
+    import argparse
+
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def build_said_model(
     prediction_type: str = "epsilon",
     feature_dim: int = -1,

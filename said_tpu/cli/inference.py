@@ -14,7 +14,7 @@ import os
 import jax
 import numpy as np
 
-from said_tpu.cli._common import build_said_model, load_said_params
+from said_tpu.cli._common import build_said_model, load_said_params, str2bool
 from said_tpu.data.blendvoca import BLENDSHAPE_CLASSES
 from said_tpu.models.said import SAIDPipeline, process_audio
 from said_tpu.utils.audio import fit_audio_unet, load_audio
@@ -36,8 +36,8 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--output_image_path", type=str, default="../out.png")
     parser.add_argument("--intermediate_dir", type=str, default="../interm")
     parser.add_argument("--prediction_type", type=str, default="epsilon")
-    parser.add_argument("--save_image", type=bool, default=False)
-    parser.add_argument("--save_intermediate", type=bool, default=False)
+    parser.add_argument("--save_image", type=str2bool, default=False)
+    parser.add_argument("--save_intermediate", type=str2bool, default=False)
     parser.add_argument("--num_steps", type=int, default=1000)
     parser.add_argument("--strength", type=float, default=1.0)
     parser.add_argument("--guidance_scale", type=float, default=2.0)

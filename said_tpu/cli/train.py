@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from said_tpu.cli._common import build_said_model, init_said_params, load_said_params
+from said_tpu.cli._common import build_said_model, init_said_params, load_said_params, str2bool
 from said_tpu.core.logging import MetricsWriter
 from said_tpu.data.blendvoca import (
     BlendVOCATrainDataset,
@@ -78,7 +78,7 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--unet_feature_dim", type=int, default=-1)
     parser.add_argument("--weight_vel", type=float, default=1.0)
     parser.add_argument("--weight_vertex", type=float, default=0.02)
-    parser.add_argument("--ema", type=bool, default=True)
+    parser.add_argument("--ema", type=str2bool, default=True)
     parser.add_argument("--ema_decay", type=float, default=0.9999)
     parser.add_argument("--val_period", type=int, default=200)
     parser.add_argument("--val_repeat", type=int, default=50)
@@ -92,7 +92,7 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
              "handful of compiled programs instead of one per clip length",
     )
     parser.add_argument(
-        "--gradient_checkpointing", type=bool, default=False,
+        "--gradient_checkpointing", type=str2bool, default=False,
         help="recompute UNet block activations in the backward pass "
              "(jax.remat) — trades FLOPs for activation memory on long "
              "windows (reference mechanism: said/model/ldm/util.py:17-63)",
@@ -102,14 +102,14 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--init_weights", type=str, default="",
                         help="optional pretrained .pth (e.g. wav2vec2 import)")
     parser.add_argument("--resume", type=str, default="")
-    parser.add_argument("--export_pth", type=bool, default=True)
+    parser.add_argument("--export_pth", type=str2bool, default=True)
     parser.add_argument(
-        "--spec_augment", type=bool, default=True,
+        "--spec_augment", type=str2bool, default=True,
         help="apply wav2vec2 time masking during training (the reference "
              "trains with the HF encoder in train mode, which does this)",
     )
     parser.add_argument(
-        "--encoder_train_mode", type=bool, default=True,
+        "--encoder_train_mode", type=str2bool, default=True,
         help="run the frozen wav2vec2 encoder with train-mode "
              "stochasticity (hidden/attention/activation dropout + "
              "layerdrop) during SAiD training, matching the reference "

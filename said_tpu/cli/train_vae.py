@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from said_tpu.cli._common import str2bool
+from said_tpu.cli._common import str2bool
 from said_tpu.core.logging import MetricsWriter
 from said_tpu.data.blendvoca import BlendVOCAVAEDataset
 from said_tpu.data.loader import DataLoader
@@ -44,7 +46,7 @@ def main(argv=None) -> None:
     parser.add_argument("--weight_vel", type=float, default=1.0)
     parser.add_argument("--beta", type=float, default=1.0)
     parser.add_argument("--beta_cycle", type=int, default=10)
-    parser.add_argument("--ema", type=bool, default=True)
+    parser.add_argument("--ema", type=str2bool, default=True)
     parser.add_argument("--ema_decay", type=float, default=0.99)
     parser.add_argument("--val_period", type=int, default=10)
     parser.add_argument("--val_repeat", type=int, default=10)

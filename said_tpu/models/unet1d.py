@@ -271,7 +271,14 @@ class FeedForward(nn.Module):
     matmuls back-to-back in VMEM with the exact-erf gelu between them,
     skipping the (B, T, 4·2·C) HBM round-trip. Training keeps the
     unfused path (dropout sits between the gelu-mul and the out
-    projection)."""
+    projection).
+
+    Numerics note: the fused kernel holds the first projection in f32,
+    so on bf16 models validation losses are computed with slightly
+    different rounding than training losses (which take the unfused
+    ``self.dtype`` path). If train/val loss comparability at bf16 ever
+    matters, build the model with ``fused_kernels=False`` for the eval
+    step — that is the gate."""
 
     mult: int = 4
     dropout: float = 0.0

@@ -48,17 +48,21 @@ def _layer_norm_jnp(x, scale, bias, eps=1e-5):
 
 
 def _norm_backend(t: int, c: int, whole_row: bool) -> str:
-    if os.environ.get("SAID_NORM_INTERPRET"):
-        return "interpret"
-    if os.environ.get("SAID_NORMS_JNP"):  # A/B kill-switch
+    interp = bool(os.environ.get("SAID_NORM_INTERPRET"))
+    if not interp and os.environ.get("SAID_NORMS_JNP"):  # A/B kill-switch
         return "jnp"
-    from said_tpu.ops.pallas_norms import _MAX_TC_VMEM
+    if not interp and jax.default_backend() != "tpu":
+        return "jnp"
+    from said_tpu.ops.pallas_norms import _MAX_TC_VMEM, _t_block
 
-    if jax.default_backend() == "tpu" and (
-        not whole_row or t * c <= _MAX_TC_VMEM
-    ):
-        return "pallas"
-    return "jnp"
+    if whole_row and t * c > _MAX_TC_VMEM:
+        # rows too long for one VMEM block: two-phase blocked kernel
+        # (clips over ~68 s at the UNet width) — jnp only if no T-block
+        # divides t (pathological lengths)
+        if _t_block(t, c) > 0:
+            return "interpret_blocked" if interp else "pallas_blocked"
+        return "jnp"
+    return "interpret" if interp else "pallas"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
@@ -79,6 +83,13 @@ def group_norm(
     backend = _norm_backend(x.shape[1], x.shape[2], whole_row=True)
     if backend == "jnp":
         return _group_norm_jnp(x, num_groups, scale, bias, eps, act)
+    if backend.endswith("_blocked"):
+        from said_tpu.ops.pallas_norms import group_norm_pallas_blocked
+
+        return group_norm_pallas_blocked(
+            x, scale, bias, num_groups, eps, act,
+            interpret=backend == "interpret_blocked",
+        )
     from said_tpu.ops.pallas_norms import group_norm_pallas
 
     return group_norm_pallas(
@@ -174,6 +185,13 @@ def group_norm_masked(
     if backend == "jnp":
         return _group_norm_masked_jnp(
             x, num_groups, scale, bias, seq_mask, eps, act
+        )
+    if backend.endswith("_blocked"):
+        from said_tpu.ops.pallas_norms import group_norm_masked_pallas_blocked
+
+        return group_norm_masked_pallas_blocked(
+            x, scale, bias, seq_mask, num_groups, eps, act,
+            interpret=backend == "interpret_blocked",
         )
     from said_tpu.ops.pallas_norms import group_norm_masked_pallas
 

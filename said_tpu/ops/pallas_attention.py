@@ -104,7 +104,11 @@ def _flash_tpu_packed(q, k, v, lens_b=None, num_heads: int = 6,
     t_pad = _round_up(t, block_q)
     s_pad = _round_up(s, 128)
 
-    qs = q * jnp.asarray(d**-0.5 * _LOG2E, q.dtype)
+    # Scale in f32, then cast back: scaling directly in bf16 would add an
+    # extra bf16 rounding per Q element relative to the dense/reference
+    # path (which scales the f32 score matrix). XLA fuses the
+    # convert-mul-convert, so this costs nothing on device.
+    qs = (q.astype(jnp.float32) * (d**-0.5 * _LOG2E)).astype(q.dtype)
     # per-head ones column: va[:, :, h·(d+1) : h·(d+1)+d] = v_h, then 1
     ones = jnp.ones((b, s, h, 1), v.dtype)
     va = jnp.concatenate(
@@ -237,7 +241,11 @@ def _flash_tpu_packed_blocked(q, k, v, lens_b=None, num_heads: int = 6,
     t_pad = _round_up(t, block_q)
     s_pad = _round_up(s, block_k)
 
-    qs = q * jnp.asarray(d**-0.5 * _LOG2E, q.dtype)
+    # Scale in f32, then cast back: scaling directly in bf16 would add an
+    # extra bf16 rounding per Q element relative to the dense/reference
+    # path (which scales the f32 score matrix). XLA fuses the
+    # convert-mul-convert, so this costs nothing on device.
+    qs = (q.astype(jnp.float32) * (d**-0.5 * _LOG2E)).astype(q.dtype)
     ones = jnp.ones((b, s, h, 1), v.dtype)
     va = jnp.concatenate(
         [v.reshape(b, s, h, d), ones], axis=-1

@@ -189,6 +189,241 @@ def group_norm_masked_pallas(
     )
 
 
+def _t_block(t: int, c: int) -> int:
+    """Largest T-block (multiple of 8, dividing t) whose (1, bt, c) block
+    fits the VMEM budget; 0 if none exists (caller falls back to jnp)."""
+    cap = _MAX_TC_VMEM // c
+    for bt in range(cap - cap % 8, 0, -8):
+        if t % bt == 0:
+            return bt
+    return 0
+
+
+def _group_stats_combine(s_c, m2_c, counts, num_groups: int, eps: float):
+    """Chan-combine per-block group statistics → per-channel mean/rstd.
+
+    ``s_c``/``m2_c``: (B, nT, C) f32 block channel sums and block-mean-
+    centered squared sums. ``counts``: (B, nT) f32 element count PER
+    GROUP in each block (bt·C/G, mask-reduced for the masked variant).
+    Tiny arrays — XLA handles them inline; HIGHEST precision on the
+    one-hot group matmuls for the same reason as ``_gdot``.
+    """
+    b, nt, c = s_c.shape
+    g = num_groups
+    ind = _group_indicator(c, g)  # (C, G) f32
+
+    def gsum(a):  # (B, nT, C) → (B, nT, G)
+        return jax.lax.dot_general(
+            a, ind, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    n_bg = counts[:, :, None]  # (B, nT, 1), per-group count per block
+    s_bg = gsum(s_c)
+    m2_bg = gsum(m2_c)
+    mean_bg = s_bg / jnp.maximum(n_bg, 1.0)
+    n_g = jnp.sum(n_bg, axis=1)  # (B, 1) broadcast over G
+    mean_g = jnp.sum(s_bg, axis=1) / jnp.maximum(n_g, 1.0)  # (B, G)
+    # Chan et al. parallel-variance combine: within-block M2 plus the
+    # between-block mean-shift term.
+    shift = mean_bg - mean_g[:, None, :]
+    m2_g = jnp.sum(m2_bg + n_bg * shift * shift, axis=1)  # (B, G)
+    var_g = m2_g / jnp.maximum(n_g, 1.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+
+    def to_chan(a):  # (B, G) → (B, C)
+        return jax.lax.dot_general(
+            a, ind, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    return to_chan(mean_g), to_chan(rstd_g)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_groups", "eps", "act", "interpret"),
+)
+def group_norm_pallas_blocked(
+    x, scale, bias, num_groups: int, eps: float = 1e-5,
+    act: str = "none", interpret: bool = False,
+):
+    """Two-phase GroupNorm for rows too long for a single VMEM block
+    (T·C > ``_MAX_TC_VMEM``, i.e. clips over ~68 s at the UNet width).
+
+    Phase 1 streams (1, bt, C) blocks computing per-block channel sums
+    and block-group-mean-centered squared sums; a tiny jnp Chan-combine
+    produces per-(batch, group) mean/rstd; phase 2 streams the blocks
+    again for the fused normalize (+SiLU). Numerically the per-block
+    centering matches the jnp twin's two-pass variance to f32 tolerance
+    (no catastrophic E[x²]−mean² cancellation). Same fp32-statistics
+    contract as the reference's ``GroupNorm32``
+    (``said/model/ldm/util.py:111-122``).
+    """
+    from jax.experimental import pallas as pl
+
+    b, t, c = x.shape
+    g = num_groups
+    cg = c // g
+    bt = _t_block(t, c)
+    assert bt > 0, "caller must fall back to jnp when no T-block divides t"
+    nt = t // bt
+
+    def stats_body(x_ref, s_ref, m2_ref):
+        xf = x_ref[...].astype(jnp.float32)  # (1, bt, C)
+        ind = _group_indicator(c, g)
+        s_c = jnp.sum(xf, axis=1)  # (1, C)
+        mean_c = _gdot(_gdot(s_c, ind) / (bt * cg), ind.T)
+        d = xf - mean_c[:, None, :]
+        m2_c = jnp.sum(d * d, axis=1)
+        s_ref[...] = s_c[:, None, None, :]
+        m2_ref[...] = m2_c[:, None, None, :]
+
+    s_c, m2_c = pl.pallas_call(
+        stats_body,
+        grid=(b, nt),
+        in_specs=[pl.BlockSpec((1, bt, c), lambda i, j: (i, j, 0))],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, c), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, c), lambda i, j: (i, j, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nt, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, nt, 1, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x)
+
+    counts = jnp.full((b, nt), float(bt * cg), jnp.float32)
+    mean_c, rstd_c = _group_stats_combine(
+        s_c[:, :, 0], m2_c[:, :, 0], counts, g, eps
+    )
+
+    def norm_body(x_ref, mu_ref, rs_ref, s_ref, b_ref, o_ref):
+        xf = x_ref[...].astype(jnp.float32)
+        out = (xf - mu_ref[0][:, None, :]) * rs_ref[0][:, None, :]
+        out = out * s_ref[0] + b_ref[0]
+        if act == "silu":
+            out = out * jax.lax.logistic(out)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        norm_body,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, bt, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bt, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        interpret=interpret,
+    )(
+        x,
+        mean_c[:, None, :],
+        rstd_c[:, None, :],
+        scale.astype(jnp.float32).reshape(1, c),
+        bias.astype(jnp.float32).reshape(1, c),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_groups", "eps", "act", "interpret"),
+)
+def group_norm_masked_pallas_blocked(
+    x, scale, bias, mask, num_groups: int, eps: float = 1e-5,
+    act: str = "none", interpret: bool = False,
+):
+    """Masked two-phase GroupNorm for long rows — ``group_norm_pallas_blocked``
+    with statistics that ignore padded frames (mask (B, T), 1 = real).
+    Padded rows still get a finite normalize, like the jnp twin.
+    """
+    from jax.experimental import pallas as pl
+
+    b, t, c = x.shape
+    g = num_groups
+    cg = c // g
+    bt = _t_block(t, c)
+    assert bt > 0, "caller must fall back to jnp when no T-block divides t"
+    nt = t // bt
+
+    mask_f = jnp.asarray(mask, jnp.float32).reshape(-1, t)
+    mask_f = jnp.broadcast_to(mask_f[:, :, None], (b, t, 8))
+
+    def stats_body(x_ref, m_ref, s_ref, m2_ref):
+        xf = x_ref[...].astype(jnp.float32)  # (1, bt, C)
+        m = m_ref[:, :, 0:1]  # (1, bt, 1)
+        ind = _group_indicator(c, g)
+        cnt = jnp.sum(m) * cg  # scalar: per-group count in this block
+        s_c = jnp.sum(xf * m, axis=1)  # (1, C)
+        mean_c = _gdot(
+            _gdot(s_c, ind) / jnp.maximum(cnt, 1.0), ind.T
+        )
+        d = (xf - mean_c[:, None, :]) * m
+        m2_c = jnp.sum(d * d, axis=1)
+        s_ref[...] = s_c[:, None, None, :]
+        m2_ref[...] = m2_c[:, None, None, :]
+
+    s_c, m2_c = pl.pallas_call(
+        stats_body,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, bt, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bt, 8), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, c), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, c), lambda i, j: (i, j, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nt, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, nt, 1, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, mask_f)
+
+    counts = (
+        jnp.sum(mask_f[:, :, 0].reshape(b, nt, bt), axis=2) * cg
+    )  # (B, nT) per-group counts
+    mean_c, rstd_c = _group_stats_combine(
+        s_c[:, :, 0], m2_c[:, :, 0], counts, g, eps
+    )
+
+    def norm_body(x_ref, mu_ref, rs_ref, s_ref, b_ref, o_ref):
+        xf = x_ref[...].astype(jnp.float32)
+        out = (xf - mu_ref[0][:, None, :]) * rs_ref[0][:, None, :]
+        out = out * s_ref[0] + b_ref[0]
+        if act == "silu":
+            out = out * jax.lax.logistic(out)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        norm_body,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, bt, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bt, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        interpret=interpret,
+    )(
+        x,
+        mean_c[:, None, :],
+        rstd_c[:, None, :],
+        scale.astype(jnp.float32).reshape(1, c),
+        bias.astype(jnp.float32).reshape(1, c),
+    )
+
+
 def _pick_block(t: int, cap: int = 1024) -> int:
     """Largest T-block ≤ cap dividing t; sublane rule: multiple of 8 (or
     the whole axis)."""

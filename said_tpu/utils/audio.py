@@ -242,6 +242,19 @@ def _peak_pick(
     mov_avg = ndimage.uniform_filter1d(
         x, avg_length, origin=avg_origin, mode="nearest"
     )
+    # librosa overwrites the filter's 'nearest'-edge values with TRUNCATED
+    # means at both boundaries (the window clipped to the signal): the
+    # first pre_avg and last post_avg frames, where the centered window
+    # [i - pre_avg, i + post_avg) hangs off an end.
+    n = x.shape[0]
+    for i in range(min(pre_avg, n)):
+        w = x[max(0, i - pre_avg) : i + post_avg]
+        if w.size:
+            mov_avg[i] = w.mean()
+    for i in range(max(0, n - post_avg), n):
+        w = x[max(0, i - pre_avg) : i + post_avg]
+        if w.size:
+            mov_avg[i] = w.mean()
 
     detections = (x == mov_max) & (x >= mov_avg + delta)
     peaks = []

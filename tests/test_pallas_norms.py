@@ -169,3 +169,74 @@ def test_ffn_row_blocked_grid_multiple_steps():
     ref = _geglu_ffn_jnp(x, w1, b1, w2, b2)
     got = geglu_ffn_pallas(x, w1, b1, w2, b2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_group_norm_blocked_matches_jnp():
+    """Two-phase blocked GroupNorm (long rows, T·C over the VMEM cap)
+    vs the jnp twin — Chan-combined statistics must match two-pass."""
+    from said_tpu.ops.norms import _group_norm_jnp
+    from said_tpu.ops.pallas_norms import (
+        _MAX_TC_VMEM,
+        _t_block,
+        group_norm_pallas_blocked,
+    )
+
+    b, t, c, g = 2, 4608, 192, 32
+    assert t * c > _MAX_TC_VMEM  # the shape really is past the 1-block cap
+    assert _t_block(t, c) > 0
+    rng = np.random.default_rng(8)
+    # offset mean well away from 0: a naive E[x²]−mean² would lose digits
+    x = jnp.asarray(rng.standard_normal((b, t, c)) * 2 + 30.0, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    ref = _group_norm_jnp(x, g, scale, bias, act="silu")
+    got = group_norm_pallas_blocked(
+        x, scale, bias, g, act="silu", interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_group_norm_masked_blocked_matches_jnp():
+    from said_tpu.ops.norms import _group_norm_jnp, _group_norm_masked_jnp
+    from said_tpu.ops.pallas_norms import (
+        _MAX_TC_VMEM,
+        group_norm_masked_pallas_blocked,
+    )
+
+    b, t, c, g = 2, 4608, 192, 32
+    assert t * c > _MAX_TC_VMEM
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((b, t, c)) + 5.0, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    lens = np.array([4608, 2500])  # row 1's last blocks are fully padded
+    mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+    ref = _group_norm_masked_jnp(x, g, scale, bias, mask)
+    got = group_norm_masked_pallas_blocked(
+        x, scale, bias, mask, g, interpret=True
+    )
+    for i, n in enumerate(lens):
+        np.testing.assert_allclose(
+            np.asarray(got)[i, :n], np.asarray(ref)[i, :n],
+            atol=2e-5, rtol=2e-5,
+        )
+    assert np.all(np.isfinite(np.asarray(got)))
+    # masked stats == unpadded run on the real frames
+    row1 = _group_norm_jnp(x[1:2, :2500], g, scale, bias)
+    np.testing.assert_allclose(
+        np.asarray(got)[1, :2500], np.asarray(row1)[0], atol=2e-5, rtol=2e-5
+    )
+
+
+def test_norm_backend_routes_blocked(monkeypatch):
+    """Routing: long whole-row shapes pick the blocked kernel on TPU (and
+    in interpret CI); pathological lengths with no T-block fall to jnp."""
+    from said_tpu.ops import norms
+
+    monkeypatch.setenv("SAID_NORM_INTERPRET", "1")
+    assert norms._norm_backend(4608, 192, whole_row=True) == "interpret_blocked"
+    assert norms._norm_backend(96, 192, whole_row=True) == "interpret"
+    # prime t (no multiple-of-8 divisor): jnp fallback
+    assert norms._norm_backend(4099 * 8 + 1, 192, whole_row=True) == "jnp"
