@@ -155,7 +155,7 @@ def profile_step(tag, outdir, steps, t):
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in dev:
             n = e.get("name", "?")
-            if n == "while":
+            if n.split(".")[0] == "while":  # recompiles suffix it: "while.8"
                 total = e.get("dur", 0)
             elif "_flash_tpu" in n:
                 flash += e.get("dur", 0)

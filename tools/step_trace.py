@@ -88,8 +88,11 @@ def main():
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in dev:
             n = e.get("name", "?")
-            if n == "while" or n.startswith("jit_"):
-                if n == "while":
+            # XLA suffixes the loop op on recompiles ("while.8"); both it
+            # and the jit_ wrapper envelop the whole chain — track as the
+            # total, never as an op.
+            if n.split(".")[0] == "while" or n.startswith("jit_"):
+                if n.split(".")[0] == "while":
                     total = e.get("dur", 0)
                 continue
             agg[n] += e.get("dur", 0)
