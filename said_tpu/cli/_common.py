@@ -64,6 +64,9 @@ def build_said_model(
         dtype=dt,
         self_attn_impl=self_impl,
         cross_attn_impl=cross_impl,
+        # frame-sharded mode shards the audio encoder too (sharded
+        # prepare); otherwise the encoder's own router handles it
+        encoder_attn_impl="flash_sp" if attn_impl == "flash_sp" else "auto",
         remat=remat,
     )
 

@@ -52,6 +52,10 @@ class SAID(nn.Module):
     dtype: Any = jnp.float32
     self_attn_impl: str = "dense"
     cross_attn_impl: str = "banded"
+    # Audio-encoder self-attention routing: "auto" (size/backend router —
+    # dense short/off-TPU, packed Pallas kernel for long clips), "dense",
+    # or "flash_sp" (frame-sharded prepare on a 'seq' mesh).
+    encoder_attn_impl: str = "auto"
     remat: bool = False
 
     def setup(self):
@@ -60,7 +64,9 @@ class SAID(nn.Module):
             if self.feature_dim > 0
             else self.audio_config.hidden_size
         )
-        self.audio_encoder = Wav2Vec2Encoder(self.audio_config, self.dtype)
+        self.audio_encoder = Wav2Vec2Encoder(
+            self.audio_config, self.dtype, attn_impl=self.encoder_attn_impl
+        )
         self.denoiser = UNet1DConditionModel(
             in_channels=self.in_channels,
             out_channels=self.in_channels,
@@ -130,6 +136,36 @@ class SAID(nn.Module):
         feats = self.audio_encoder(
             waveform, num_frames, mask_time_indices, deterministic,
             input_length=input_length, num_frames_real=num_frames_real,
+        )
+        if stop_encoder_grad:
+            feats = jax.lax.stop_gradient(feats)
+        if self.feature_dim > 0:
+            feats = self.audio_proj_layer(feats)
+        return feats
+
+    def get_audio_features(
+        self, waveform: jnp.ndarray, num_frames: Optional[int],
+        input_length=None, num_frames_real=None,
+    ):
+        """Stage 1 of the split conditioner: conv stack + frame interp →
+        ((B, num_frames, 512) features, traced real frame count or None).
+        The sequence-parallel pipeline inserts its frame-sharding
+        boundary after this (the conv stack is cheap; the transformer
+        encoder is where the O(T²) attention and (T, hidden) activations
+        live)."""
+        return self.audio_encoder.extract_features(
+            waveform, num_frames, input_length, num_frames_real
+        )
+
+    def encode_audio_features(
+        self, feats: jnp.ndarray, deterministic: bool = True,
+        real_frames=None, stop_encoder_grad: bool = False,
+    ) -> jnp.ndarray:
+        """Stage 2: feature projection + transformer encoder (+ the
+        optional trainable ``audio_proj_layer``). Composes with
+        ``get_audio_features`` to equal ``get_audio_embedding``."""
+        feats = self.audio_encoder.encode_features(
+            feats, None, deterministic, real_frames
         )
         if stop_encoder_grad:
             feats = jax.lax.stop_gradient(feats)
@@ -213,7 +249,7 @@ class SAIDPipeline:
 
     def _compiled(self, key, config: SamplerConfig, window_size: int,
                   use_init: bool, use_mask: bool, save_intermediate: bool,
-                  dynamic: bool = False):
+                  dynamic: bool = False, sp: bool = False):
         """Two device programs per shape key:
 
         1. ``prepare`` — audio encoder, null embedding, the banded K/V
@@ -226,6 +262,15 @@ class SAIDPipeline:
         the banded attention (measured at T=3600: 7.0 vs 4.8 ms/step);
         as program inputs they get the canonical layout. The extra
         dispatch costs one tunnel round-trip, amortized over the chain.
+
+        ``sp`` (sequence-parallel) splits ``prepare`` once more, around
+        the frame-sharding boundary: ``prepare_feats`` (conv stack +
+        interp, small, unsharded) and ``prepare_encode`` (transformer
+        encoder + K/V gather) whose features INPUT the caller shards
+        along frames — GSPMD then partitions the whole encoder (the
+        flash_sp custom-partitioning rule keeps its attention blockwise),
+        so arbitrarily long clips never hold an unsharded (T, hidden)
+        activation or encoder attention working set on one chip.
         """
         if key in self._jit_cache:
             return self._jit_cache[key]
@@ -251,15 +296,7 @@ class SAIDPipeline:
                 return jnp.concatenate([window_real, window_real])
             return window_real
 
-        def prepare(params, waveform, input_length, window_real):
-            audio_emb = model.apply(
-                {"params": params},
-                waveform,
-                window_size,
-                method=SAID.get_audio_embedding,
-                input_length=input_length if dynamic else None,
-                num_frames_real=window_real if dynamic else None,
-            )
+        def _caches_from_emb(params, audio_emb, seq_len_real=None):
             uncond = None
             if config.do_cfg:
                 uncond = model.apply(
@@ -279,12 +316,43 @@ class SAIDPipeline:
                 window_size,
                 num_heads=heads,
                 dtype=model.dtype,
-                seq_len_real=_denoise_len(window_real) if dynamic else None,
+                seq_len_real=seq_len_real,
             )
             emb_table = time_embed_table(
                 params["denoiser"], np.arange(model.diffusion_steps), mc
             )
             return kv_caches, emb_table
+
+        def prepare(params, waveform, input_length, window_real):
+            audio_emb = model.apply(
+                {"params": params},
+                waveform,
+                window_size,
+                method=SAID.get_audio_embedding,
+                input_length=input_length if dynamic else None,
+                num_frames_real=window_real if dynamic else None,
+            )
+            return _caches_from_emb(
+                params,
+                audio_emb,
+                seq_len_real=_denoise_len(window_real) if dynamic else None,
+            )
+
+        def prepare_feats(params, waveform):
+            # SP mode is exclusive with `dynamic`, so no length plumbing.
+            feats, _ = model.apply(
+                {"params": params},
+                waveform,
+                window_size,
+                method=SAID.get_audio_features,
+            )
+            return feats
+
+        def prepare_encode(params, feats):
+            audio_emb = model.apply(
+                {"params": params}, feats, method=SAID.encode_audio_features
+            )
+            return _caches_from_emb(params, audio_emb)
 
         def denoise(params, rng, latents, kv_caches, emb_table,
                     init_samples, mask, window_real):
@@ -317,7 +385,11 @@ class SAIDPipeline:
                 save_intermediate=save_intermediate,
             )
 
-        fns = (jax.jit(prepare), jax.jit(denoise))
+        if sp:
+            fns = (jax.jit(prepare_feats), jax.jit(prepare_encode),
+                   jax.jit(denoise))
+        else:
+            fns = (jax.jit(prepare), jax.jit(denoise))
         self._jit_cache[key] = fns
         return fns
 
@@ -363,14 +435,16 @@ class SAIDPipeline:
         the banded K/V caches are sharded along the frame axis; GSPMD
         partitions convs/norms spatially and the flash kernel's
         custom-partitioning rule keeps attention blockwise (build the
-        model with ``self_attn_impl="flash_sp"``). Requires the seq-axis
-        size to divide the frame count (pad the clip via
+        model with ``self_attn_impl="flash_sp"`` and
+        ``encoder_attn_impl="flash_sp"``). The prepare stage is sharded
+        too: the conv feature stack runs unsharded (it is tiny — raw
+        waveform in, 512-dim features out), then the features are placed
+        frame-sharded and the transformer encoder + banded K/V gather run
+        under the mesh, so no unsharded (T, hidden) activation or
+        encoder-attention working set ever exists on one chip. Requires
+        the seq-axis size to divide the frame count (pad the clip via
         ``fit_audio_unet(divisor=...)``) and is exclusive with
-        ``length_bucket``. Note: the once-per-clip ``prepare`` program
-        (audio encoder + cache build) still runs unsharded — SP
-        parallelizes the N-step denoise chain, which dominates at any
-        step count; a clip long enough to OOM the encoder itself would
-        additionally need a sharded prepare.
+        ``length_bucket``.
         """
         waveform_processed = jnp.asarray(waveform_processed)
         if waveform_processed.ndim == 1:
@@ -438,10 +512,17 @@ class SAIDPipeline:
         )
         use_init = init_samples is not None
         use_mask = use_init and mask is not None
-        key = (b, t_a, window_size, config, use_init, use_mask, save_intermediate, dynamic)
-        prep_fn, denoise_fn = self._compiled(
-            key, config, window_size, use_init, use_mask, save_intermediate, dynamic
+        sp = seq_mesh is not None
+        key = (b, t_a, window_size, config, use_init, use_mask,
+               save_intermediate, dynamic, sp)
+        fns = self._compiled(
+            key, config, window_size, use_init, use_mask, save_intermediate,
+            dynamic, sp
         )
+        if sp:
+            feats_fn, encode_fn, denoise_fn = fns
+        else:
+            prep_fn, denoise_fn = fns
 
         init_arg = (
             pad_frames(jnp.asarray(init_samples, jnp.float32))
@@ -456,17 +537,25 @@ class SAIDPipeline:
 
         # length args may be scalars or (B,) vectors
         window_real_arg = jnp.asarray(window_real, jnp.int32)
-        kv_caches, emb_table = prep_fn(
-            self.params,
-            waveform_processed,
-            jnp.asarray(t_a_real, jnp.int32),
-            window_real_arg,
-        )
-        if seq_mesh is not None:
+        if sp:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            feats = feats_fn(self.params, waveform_processed)
+            feats = jax.device_put(
+                feats, NamedSharding(seq_mesh, P(None, "seq", None))
+            )
+            kv_caches, emb_table = encode_fn(self.params, feats)
             kv_caches = _shard_seq_tree(kv_caches, seq_mesh, window_size)
             latents, init_arg, mask_arg = (
                 _shard_seq_tree(x, seq_mesh, window_size)
                 for x in (latents, init_arg, mask_arg)
+            )
+        else:
+            kv_caches, emb_table = prep_fn(
+                self.params,
+                waveform_processed,
+                jnp.asarray(t_a_real, jnp.int32),
+                window_real_arg,
             )
         result, interms = denoise_fn(
             self.params,

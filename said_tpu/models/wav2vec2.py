@@ -112,12 +112,20 @@ class _ConvLayer(nn.Module):
 
 class LayerNormW2V(nn.Module):
     eps: float = 1e-5
+    # False in sequence-parallel mode: the Pallas norm kernels carry no
+    # frame-sharding rule, so GSPMD would gather around the opaque call;
+    # the jnp form partitions natively (stats are per-frame anyway).
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if not self.fused:
+            from said_tpu.ops.norms import _layer_norm_jnp
+
+            return _layer_norm_jnp(x, scale, bias, self.eps)
         return layer_norm_f32(x, scale, bias, self.eps)
 
 
@@ -162,14 +170,28 @@ class FeatureExtractor(nn.Module):
 
 
 class EncoderLayer(nn.Module):
-    """Post-norm transformer layer (wav2vec2-base style)."""
+    """Post-norm transformer layer (wav2vec2-base style).
+
+    ``attn_impl`` routes the self-attention in deterministic mode:
+    "dense" is the materialized-scores einsum (always used in train mode,
+    where HF applies dropout on the attention probabilities); "flash"
+    routes through the size/backend router of
+    ``said_tpu.ops.pallas_attention`` (dense below ~2k frames / off-TPU,
+    the packed Pallas kernel beyond — long clips never materialize the
+    (T, T) score matrix); "flash_sp" uses the sequence-parallel
+    custom-partitioning rule (frame-sharded Q, gathered K/V).
+    ``lengths`` (B,)/scalar real frame counts back the flash paths'
+    key masking (the dense path keeps using ``key_mask``).
+    """
 
     config: Wav2Vec2Config
     dtype: Any = jnp.float32
+    attn_impl: str = "dense"
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, deterministic: bool = True, key_mask=None
+        self, x: jnp.ndarray, deterministic: bool = True, key_mask=None,
+        lengths=None,
     ) -> jnp.ndarray:
         cfg = self.config
         h = cfg.hidden_size
@@ -181,25 +203,37 @@ class EncoderLayer(nn.Module):
         k = nn.Dense(h, dtype=self.dtype, name="k_proj")(x)
         v = nn.Dense(h, dtype=self.dtype, name="v_proj")(x)
         b, t, _ = x.shape
-        qh = q.reshape(b, t, heads, d) * (d**-0.5)
-        kh = k.reshape(b, t, heads, d)
-        vh = v.reshape(b, t, heads, d)
-        scores = jnp.einsum("bthd,bshd->bhts", qh, kh)
-        if key_mask is not None:
-            neg = jnp.asarray(-np.finfo(np.float32).max, scores.dtype)
-            km = (
-                key_mask[:, None, None, :]
-                if key_mask.ndim == 2
-                else key_mask[None, None, None, :]
-            )
-            scores = jnp.where(km, scores, neg)
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-        attn = nn.Dropout(cfg.attention_dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhts,bshd->bthd", attn, vh).reshape(b, t, h)
+        impl = self.attn_impl if deterministic else "dense"
+        if impl != "dense":
+            from said_tpu.ops.attention import multi_head_attention
+
+            lens = None
+            if lengths is not None:
+                lens = jnp.broadcast_to(
+                    jnp.asarray(lengths, jnp.int32).reshape(-1), (b,)
+                )
+            out = multi_head_attention(q, k, v, heads, impl=impl, lengths=lens)
+        else:
+            qh = q.reshape(b, t, heads, d) * (d**-0.5)
+            kh = k.reshape(b, t, heads, d)
+            vh = v.reshape(b, t, heads, d)
+            scores = jnp.einsum("bthd,bshd->bhts", qh, kh)
+            if key_mask is not None:
+                neg = jnp.asarray(-np.finfo(np.float32).max, scores.dtype)
+                km = (
+                    key_mask[:, None, None, :]
+                    if key_mask.ndim == 2
+                    else key_mask[None, None, None, :]
+                )
+                scores = jnp.where(km, scores, neg)
+            attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+            attn = nn.Dropout(cfg.attention_dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhts,bshd->bthd", attn, vh).reshape(b, t, h)
         out = nn.Dense(h, dtype=self.dtype, name="out_proj")(out)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
+        fused = self.attn_impl != "flash_sp"
         x = res + out
-        x = LayerNormW2V(eps=cfg.layer_norm_eps, name="layer_norm")(x)
+        x = LayerNormW2V(eps=cfg.layer_norm_eps, fused=fused, name="layer_norm")(x)
 
         ff = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="ff_inter")(x)
         ff = jax.nn.gelu(ff, approximate=False)
@@ -207,7 +241,9 @@ class EncoderLayer(nn.Module):
         ff = nn.Dense(h, dtype=self.dtype, name="ff_out")(ff)
         ff = nn.Dropout(cfg.hidden_dropout)(ff, deterministic=deterministic)
         x = x + ff
-        x = LayerNormW2V(eps=cfg.layer_norm_eps, name="final_layer_norm")(x)
+        x = LayerNormW2V(
+            eps=cfg.layer_norm_eps, fused=fused, name="final_layer_norm"
+        )(x)
         return x
 
 
@@ -239,12 +275,136 @@ class Wav2Vec2Encoder(nn.Module):
 
     ``num_frames`` is a static Python int (the blendshape window size);
     when None, the native ~50 Hz feature rate is kept.
+
+    Split into ``extract_features`` (conv stack + frame interpolation)
+    and ``encode_features`` (projection + transformer encoder) so the
+    sequence-parallel pipeline can insert a frame-sharding boundary
+    between them: the conv stack runs on the raw waveform (small), the
+    encoder — where the O(T²) attention and the (T, hidden) activations
+    live — runs frame-sharded. ``__call__`` composes both (the single-
+    device path, identical semantics to the reference's
+    ``ModifiedWav2Vec2Model.forward``, ``said/model/wav2vec2.py:14-82``).
     """
 
     config: Wav2Vec2Config = Wav2Vec2Config()
     dtype: Any = jnp.float32
+    attn_impl: str = "auto"
 
-    @nn.compact
+    def setup(self):
+        # Names must match the @nn.compact original (and the torch
+        # importer / TP sharding rules): setup derives them from the
+        # attribute names — the ``layer`` tuple yields layer_0, layer_1, …
+        cfg = self.config
+        self.feature_extractor = FeatureExtractor(cfg, self.dtype)
+        fused = self.attn_impl != "flash_sp"
+        self.fp_layer_norm = LayerNormW2V(eps=cfg.layer_norm_eps, fused=fused)
+        self.fp_projection = nn.Dense(cfg.hidden_size, dtype=self.dtype)
+        self.fp_dropout = nn.Dropout(cfg.feat_proj_dropout)
+        self.masked_spec_embed = self.param(
+            "masked_spec_embed",
+            nn.initializers.uniform(scale=1.0),
+            (cfg.hidden_size,),
+            jnp.float32,
+        )
+        self.pos_conv = PositionalConvEmbedding(cfg, self.dtype)
+        self.encoder_layer_norm = LayerNormW2V(
+            eps=cfg.layer_norm_eps, fused=fused
+        )
+        self.enc_dropout = nn.Dropout(cfg.hidden_dropout)
+        # "auto" routes deterministic attention through the size/backend
+        # router (dense below ~2k frames or off-TPU — numerically the
+        # materialized-scores path — and the packed Pallas kernel beyond,
+        # so hour-scale clips never materialize a (T, T) encoder score
+        # matrix); train mode always runs dense (prob-dropout).
+        layer_impl = "flash" if self.attn_impl == "auto" else self.attn_impl
+        self.layer = tuple(
+            EncoderLayer(cfg, self.dtype, attn_impl=layer_impl)
+            for _ in range(cfg.num_hidden_layers)
+        )
+
+    def extract_features(
+        self,
+        input_values: jnp.ndarray,
+        num_frames: Optional[int] = None,
+        input_length=None,
+        num_frames_real=None,
+    ):
+        """Conv stack + linear frame interpolation: waveform (B, T_a) →
+        (features (B, num_frames, 512), traced real frame count or None).
+        """
+        feats, feat_real_len = self.feature_extractor(input_values, input_length)
+        if num_frames is not None:
+            if input_length is not None:
+                feats = linear_interp_time_dynamic(
+                    feats, num_frames, feat_real_len, num_frames_real
+                )
+            else:
+                feats = linear_interp_time(feats, num_frames)
+        real_frames = None
+        if input_length is not None:
+            real_frames = (
+                jnp.asarray(num_frames_real, jnp.int32)
+                if num_frames is not None
+                else feat_real_len
+            )
+        return feats, real_frames
+
+    def encode_features(
+        self,
+        feats: jnp.ndarray,
+        mask_time_indices: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        real_frames=None,
+    ) -> jnp.ndarray:
+        """Feature projection + transformer encoder over (B, T, 512)
+        features. ``real_frames`` (traced scalar or (B,)): real frame
+        counts for length-bucketed mode."""
+        cfg = self.config
+        h = self.fp_layer_norm(feats)
+        h = self.fp_projection(h)
+        h = self.fp_dropout(h, deterministic=deterministic)
+
+        # Spec-augment time masking (training only; indices computed host-side)
+        if mask_time_indices is not None:
+            h = jnp.where(
+                mask_time_indices[:, :, None],
+                self.masked_spec_embed.astype(h.dtype)[None, None, :],
+                h,
+            )
+
+        frame_mask = None
+        if real_frames is not None:
+            if real_frames.ndim == 1:  # per-row lengths
+                frame_mask = jnp.arange(h.shape[1])[None, :] < real_frames[:, None]
+                m = frame_mask[:, :, None]
+            else:
+                frame_mask = jnp.arange(h.shape[1]) < real_frames
+                m = frame_mask[None, :, None]
+            # Zero the pads so the SAME-padded positional conv sees exactly
+            # the zero boundary the unpadded program would.
+            h = h * m.astype(h.dtype)
+
+        # Encoder: positional conv + LN + dropout + layers (with layerdrop)
+        h = h + self.pos_conv(h)
+        h = self.encoder_layer_norm(h)
+        h = self.enc_dropout(h, deterministic=deterministic)
+        use_layerdrop = not deterministic and cfg.layerdrop > 0.0
+        for layer in self.layer:
+            out = layer(
+                h, deterministic, key_mask=frame_mask, lengths=real_frames
+            )
+            if use_layerdrop:
+                # HF skips the whole layer w.p. layerdrop in train mode; as
+                # a compiled program we compute and select (the encoder is
+                # frozen during SAiD training, so no wasted backward).
+                drop = jax.random.bernoulli(
+                    self.make_rng("dropout"), cfg.layerdrop
+                )
+                h = jnp.where(drop, h, out)
+            else:
+                h = out
+        return h
+
     def __call__(
         self,
         input_values: jnp.ndarray,
@@ -262,76 +422,12 @@ class Wav2Vec2Encoder(nn.Module):
         equal the exact unpadded computation — ONE compiled program
         serves every clip length up to the bucket size.
         """
-        cfg = self.config
-        dynamic = input_length is not None
-
-        feats, feat_real_len = FeatureExtractor(
-            cfg, self.dtype, name="feature_extractor"
-        )(input_values, input_length)
-        if num_frames is not None:
-            if dynamic:
-                feats = linear_interp_time_dynamic(
-                    feats, num_frames, feat_real_len, num_frames_real
-                )
-            else:
-                feats = linear_interp_time(feats, num_frames)
-
-        # Feature projection: LN → Dense(512 → hidden) → dropout
-        h = LayerNormW2V(eps=cfg.layer_norm_eps, name="fp_layer_norm")(feats)
-        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fp_projection")(h)
-        h = nn.Dropout(cfg.feat_proj_dropout)(h, deterministic=deterministic)
-
-        # Spec-augment time masking (training only; indices computed host-side)
-        masked_spec_embed = self.param(
-            "masked_spec_embed",
-            nn.initializers.uniform(scale=1.0),
-            (cfg.hidden_size,),
-            jnp.float32,
+        feats, real_frames = self.extract_features(
+            input_values, num_frames, input_length, num_frames_real
         )
-        if mask_time_indices is not None:
-            h = jnp.where(
-                mask_time_indices[:, :, None],
-                masked_spec_embed.astype(h.dtype)[None, None, :],
-                h,
-            )
-
-        frame_mask = None
-        if dynamic:
-            real_frames = (
-                jnp.asarray(num_frames_real, jnp.int32)
-                if num_frames is not None
-                else feat_real_len
-            )
-            if real_frames.ndim == 1:  # per-row lengths
-                frame_mask = jnp.arange(h.shape[1])[None, :] < real_frames[:, None]
-                m = frame_mask[:, :, None]
-            else:
-                frame_mask = jnp.arange(h.shape[1]) < real_frames
-                m = frame_mask[None, :, None]
-            # Zero the pads so the SAME-padded positional conv sees exactly
-            # the zero boundary the unpadded program would.
-            h = h * m.astype(h.dtype)
-
-        # Encoder: positional conv + LN + dropout + layers (with layerdrop)
-        h = h + PositionalConvEmbedding(cfg, self.dtype, name="pos_conv")(h)
-        h = LayerNormW2V(eps=cfg.layer_norm_eps, name="encoder_layer_norm")(h)
-        h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
-        use_layerdrop = not deterministic and cfg.layerdrop > 0.0
-        for i in range(cfg.num_hidden_layers):
-            out = EncoderLayer(cfg, self.dtype, name=f"layer_{i}")(
-                h, deterministic, key_mask=frame_mask
-            )
-            if use_layerdrop:
-                # HF skips the whole layer w.p. layerdrop in train mode; as
-                # a compiled program we compute and select (the encoder is
-                # frozen during SAiD training, so no wasted backward).
-                drop = jax.random.bernoulli(
-                    self.make_rng("dropout"), cfg.layerdrop
-                )
-                h = jnp.where(drop, h, out)
-            else:
-                h = out
-        return h
+        return self.encode_features(
+            feats, mask_time_indices, deterministic, real_frames
+        )
 
 
 def compute_time_mask_indices(

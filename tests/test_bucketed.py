@@ -112,7 +112,8 @@ def test_pipeline_bucketed_matches_exact():
         results[n_frames] = bucketed
 
     # Both lengths hit the same bucket → exactly ONE dynamic compile.
-    dynamic_keys = [k for k in pipeline._jit_cache if k[-1] is True]
+    # key layout: (..., dynamic, sp)
+    dynamic_keys = [k for k in pipeline._jit_cache if k[-2] is True]
     assert len(dynamic_keys) == 1
 
 

@@ -106,7 +106,14 @@ def test_sp_pipeline_inference_matches_unsharded():
         ("dense", None),
         ("flash_sp", _seq_mesh(4)),
     ):
-        model = SAID(audio_config=cfg, self_attn_impl=impl)
+        # flash_sp on BOTH attention stacks: the denoise chain and the
+        # audio-encoder prepare stage run frame-sharded (split-prepare
+        # path: conv feats unsharded, then device_put('seq') + sharded
+        # encoder + K/V gather).
+        model = SAID(
+            audio_config=cfg, self_attn_impl=impl,
+            encoder_attn_impl=impl if impl == "flash_sp" else "dense",
+        )
         params = init_said_params(model, seed=0)
         pipeline = SAIDPipeline(model, params)
         outs[impl] = pipeline.inference(
@@ -119,6 +126,47 @@ def test_sp_pipeline_inference_matches_unsharded():
 
     np.testing.assert_allclose(
         outs["flash_sp"], outs["dense"], atol=1e-4, rtol=1e-3
+    )
+
+
+def test_sp_encoder_matches_unsharded():
+    """The audio-encoder transformer (prepare stage) with frame-sharded
+    features: flash_sp attention + jnp norms + GSPMD positional conv
+    (halo exchange) must equal the unsharded dense encoder."""
+    from said_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+    cfg = Wav2Vec2Config(
+        conv_dim=(32, 32),
+        conv_stride=(5, 2),
+        conv_kernel=(10, 3),
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        intermediate_size=128,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        output_hidden_size=64,
+    )
+    enc_sp = Wav2Vec2Encoder(cfg, attn_impl="flash_sp")
+    enc_ref = Wav2Vec2Encoder(cfg, attn_impl="dense")
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((2, 128, 32)), jnp.float32)
+    params = enc_ref.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2000)), 16
+    )["params"]
+
+    def run(enc, f):
+        return enc.apply(
+            {"params": params}, f, method=Wav2Vec2Encoder.encode_features
+        )
+
+    ref = run(enc_ref, feats)
+
+    mesh = _seq_mesh(4)
+    shard = NamedSharding(mesh, P(None, "seq", None))
+    got = jax.jit(lambda f: run(enc_sp, f))(jax.device_put(feats, shard))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-4
     )
 
 
