@@ -117,8 +117,66 @@ def _unet_step_flops(t: int, batch: int = 2) -> float:
     return float(total)
 
 
+def fast_init(model, seed: int = 0):
+    """Bench-only param init: ``jax.eval_shape`` over the real flax init
+    (no device compile — the regular ``init_said_params`` costs ~3 min
+    of this host's single core compiling two init programs over the
+    tunnel) + host-side numpy values. Weight VALUES don't affect timing;
+    shapes/dtypes match the real init exactly."""
+    import numpy as _np
+
+    from said_tpu.models.said import SAID
+
+    rng0 = jax.random.PRNGKey(seed)
+
+    def shapes():
+        import jax.numpy as jnp
+
+        wave = jnp.zeros((1, 3200), jnp.float32)
+        sample = jnp.zeros((1, 12, model.in_channels), jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        emb_dim = (
+            model.feature_dim
+            if model.feature_dim > 0
+            else model.audio_config.hidden_size
+        )
+        ctx = jnp.zeros((1, 12, emb_dim), jnp.float32)
+        a = jax.eval_shape(
+            lambda r, s, tt, c: model.init({"params": r}, s, tt, c),
+            rng0, sample, t, ctx,
+        )["params"]
+        b = jax.eval_shape(
+            lambda r, w: model.init(
+                {"params": r}, w, 12, method=SAID.get_audio_embedding
+            ),
+            rng0, wave,
+        )["params"]
+        merged = dict(a)
+        for k, v in b.items():
+            merged.setdefault(k, v)
+        return merged
+
+    nprng = _np.random.default_rng(seed)
+
+    def materialize(path, leaf):
+        name = "/".join(str(p.key) for p in path)
+        if leaf.ndim == 0 or "bias" in name:
+            return _np.zeros(leaf.shape, leaf.dtype)
+        if "scale" in name or "norm" in name.rsplit("/", 1)[-1]:
+            return _np.ones(leaf.shape, leaf.dtype)
+        return (nprng.standard_normal(leaf.shape) * 0.02).astype(leaf.dtype)
+
+    import jax.tree_util as jtu
+
+    host = jtu.tree_map_with_path(materialize, shapes())
+    # numpy leaves would be re-transferred over the tunnel on EVERY
+    # jitted call (measured: 450 ms/train-step vs 11 ms with device
+    # arrays) — commit the tree to the device once.
+    return jax.device_put(host)
+
+
 def main() -> None:
-    from said_tpu.cli._common import build_said_model, init_said_params
+    from said_tpu.cli._common import build_said_model
     from said_tpu.models.said import SAIDPipeline, process_audio
 
     on_tpu = jax.default_backend() == "tpu"
@@ -127,7 +185,8 @@ def main() -> None:
     _note(f"backend={jax.default_backend()} budget={_BUDGET_S:.0f}s")
 
     model = build_said_model(dtype=dtype, attn_impl="auto")
-    params = init_said_params(model, seed=0)
+    params = fast_init(model, seed=0)
+    _note("params initialized (eval_shape + host numpy)")
     pipeline = SAIDPipeline(model, params)
     sr = pipeline.sampling_rate
     rng = np.random.default_rng(0)
@@ -241,7 +300,7 @@ def main() -> None:
 
         config = TrainConfig()
         schedule = DiffusionSchedule.create(model.diffusion_steps)
-        state = create_train_state(config, init_said_params(model, seed=0))
+        state = create_train_state(config, fast_init(model, seed=0))
         bt, wt = (8, 128) if on_tpu else (2, 16)
         batch = {
             "waveform": jax.numpy.asarray(
@@ -258,11 +317,10 @@ def main() -> None:
         }
         step_fn = make_train_step(model, schedule, config)
 
-        # 10 chained steps measure steady state identically to 50 but
-        # compile ~5x faster (the chain is unrolled by scan tracing once;
-        # XLA cost scales with the scan body, not length — the win is the
-        # smaller warm execution + faster trace).
-        n_train = 10 if on_tpu else 2
+        # 20 chained steps amortize the ~26 ms tunnel dispatch to ~1.3
+        # ms/step of noise (10 left ~2.6 ms — measured 90 vs 128
+        # steps/s); compile cost is the scan BODY, not the length.
+        n_train = 20 if on_tpu else 2
 
         @jax.jit
         def chain_steps(state, keys):

@@ -67,6 +67,31 @@ class Wav2Vec2Config:
         return length
 
 
+class _FusedConvGELU(nn.Module):
+    """Param holder for the fused stride-2 conv+GELU kernel.
+
+    Instantiated with ``name="conv"`` and a ``kernel`` param of the flax
+    ``nn.Conv`` layout (K, C_in, C_out), so the param pytree, the torch
+    importer, and checkpoints are identical to the ``nn.Conv`` path.
+    """
+
+    out_dim: int
+    kernel: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from said_tpu.ops.pallas_conv import strided_conv_gelu
+
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, x.shape[-1], self.out_dim),
+            jnp.float32,
+        )
+        return strided_conv_gelu(x.astype(self.dtype), w.astype(self.dtype))
+
+
 class _ConvLayer(nn.Module):
     """One feature-extractor conv layer; optional per-channel norm + GELU."""
 
@@ -81,6 +106,31 @@ class _ConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, seq_mask=None) -> jnp.ndarray:
+        # The norm-free stride-2 layers (conv_1..conv_6 of wav2vec2-base)
+        # take the fused conv+GELU path: MXU matmuls instead of XLA's
+        # slow strided-conv lowering, GELU in the epilogue. Other shapes
+        # (conv_0's k=10/s=5, "layer"-norm configs) keep nn.Conv.
+        import os
+
+        if (
+            self.stride == 2
+            and self.kernel in (2, 3)
+            and not self.use_bias
+            and not self.use_group_norm
+            and not self.use_layer_norm
+            and not os.environ.get("SAID_CONV_NNCONV")
+        ):
+            x = _FusedConvGELU(
+                self.out_dim, self.kernel, self.dtype, name="conv"
+            )(x)
+            if seq_mask is not None:
+                m = (
+                    seq_mask[None, :, None]
+                    if seq_mask.ndim == 1
+                    else seq_mask[:, :, None]
+                )
+                x = x * m.astype(x.dtype)
+            return x
         x = nn.Conv(
             self.out_dim,
             (self.kernel,),

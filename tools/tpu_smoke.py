@@ -141,6 +141,19 @@ def main() -> int:
     _check("geglu_ffn", geglu_ffn_pallas(xf, w1, b1, w2, b2),
            _geglu_ffn_jnp(xf, w1, b1, w2, b2), tol, failures)
 
+    # --- fused strided conv+GELU (wav2vec2 feature extractor) ----------
+    from said_tpu.ops.pallas_conv import (
+        _strided_conv_gelu_jnp,
+        strided_conv_gelu_pallas,
+    )
+
+    for kk in (2, 3):
+        xc = jnp.asarray(rng.standard_normal((2, 515, 256)), dt)
+        wc = jnp.asarray(rng.standard_normal((kk, 256, 256)) * 0.05, dt)
+        _check(f"strided_conv_gelu_k{kk}",
+               strided_conv_gelu_pallas(xc, wc, block_t=64),
+               _strided_conv_gelu_jnp(xc, wc), tol, failures)
+
     # --- sequence-parallel custom partitioning (1-device mesh) ---------
     from tools.sp_probe import run_sp_probe
 
