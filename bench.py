@@ -22,6 +22,9 @@ mid-measurement.
                          a real-TPU mesh (seq=1): proves the SP path
                          compiles + runs on hardware, value = max |err|
                          vs the unsharded kernel
+  rtf_1000step_b1_360s   6-minute clip as ONE sequence (T=21600) — the
+                         long-clip regime the reference cannot batch
+                         (attention ~90% of the step at its MXU ceiling)
 
 RTF = audio-seconds / wall-seconds for the complete pipeline (audio
 encoding + N DDIM steps with CFG, the whole chain one jitted lax.scan),
@@ -317,10 +320,12 @@ def main() -> None:
         }
         step_fn = make_train_step(model, schedule, config)
 
-        # 20 chained steps amortize the ~26 ms tunnel dispatch to ~1.3
-        # ms/step of noise (10 left ~2.6 ms — measured 90 vs 128
-        # steps/s); compile cost is the scan BODY, not the length.
-        n_train = 20 if on_tpu else 2
+        # 50 chained steps amortize the ~26 ms tunnel dispatch to ~0.5
+        # ms/step of noise (10 left ~2.6 ms: 90 vs 128 steps/s measured
+        # at 10 vs 20) and match steady-state training, where thousands
+        # of steps run back-to-back; compile cost is the scan BODY, not
+        # the length.
+        n_train = 50 if on_tpu else 2
 
         @jax.jit
         def chain_steps(state, keys):
@@ -347,6 +352,16 @@ def main() -> None:
             best = w if best is None else min(best, w)
         _emit("train_steps_per_sec", 1.0 / best, "steps/s", baseline=100.0)
 
+    def m_long6m():
+        # 6-minute clip as ONE sequence (T=21600): the long-clip regime
+        # the reference cannot batch at all (it materializes (T,T) score
+        # tensors in HBM). Attention is ~90% of the step here — the
+        # head-dim-32 MXU ceiling — so this documents the single-chip
+        # floor the SP path exists to break.
+        secs = 360.0 if on_tpu else 2.0
+        wall = timed(1, secs, 1)
+        _emit(f"rtf_{num_steps}step_b1_360s", secs / wall, "x_realtime")
+
     def m_sp_on_chip():
         # Run the flash_sp custom-partitioning program on a real-device
         # mesh (seq=1 on the single chip): proves the SP lowering
@@ -364,6 +379,7 @@ def main() -> None:
         ("rtf_bucketed_mixed", m_bucketed),
         ("train_steps_per_sec", m_train),
         ("sp_flash_on_chip_maxerr", m_sp_on_chip),
+        ("rtf_1000step_b1_360s", m_long6m),
     ]
 
     for name, fn in metrics:
