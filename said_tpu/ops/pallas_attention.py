@@ -397,6 +397,33 @@ _DENSE_MAX = 2048
 _FULLK_MAX = 14400
 
 
+def _fullk_smax(inner: int, h: int, itemsize: int) -> int:
+    """Longest key axis the full-K packed kernel can hold: K and the
+    ones-augmented V are constant blocks (single-buffered, fetched
+    once), capped at ~11.5 MB of VMEM. At the denoiser's inner=192 this
+    is ~14.7k keys (the measured 14400 perf crossover binds first); at
+    the wav2vec2 encoder's inner=768 it is ~3.7k — wider models must
+    switch to the key-blocked kernel much earlier."""
+    return (11_500_000 // ((2 * inner + h) * itemsize)) // 128 * 128
+
+
+def _blocked_blocks(inner: int, h: int, itemsize: int):
+    """(block_q, block_k) for the key-blocked kernel, scaled so the
+    double-buffered K/V blocks (~8 MB), q+out blocks (~5 MB) and the
+    (h, block_q, d+2) f32 scratch fit VMEM at any model width. At
+    inner=192 this reproduces the tuned (512, 2048)."""
+    if inner <= 256:
+        return 512, 2048  # tuned on-chip for the 192-wide denoiser
+    # Wider models: the h-way unrolled head loop keeps several
+    # (block_q, block_k) f32 score temporaries live at once, so the
+    # limit is temps, not the K/V blocks. Validated on-chip at
+    # inner=768 (12 heads x 64, the wav2vec2 encoder).
+    kv_row = (2 * inner + h) * itemsize * 2  # k + ones-augmented v, 2 bufs
+    bk = max(128, min(512, ((2 * 1024 * 1024) // kv_row) // 128 * 128))
+    bq = max(128, min(256, ((1 * 1024 * 1024) // (inner * itemsize * 2)) // 128 * 128))
+    return bq, bk
+
+
 def _dense_flat(q, k, v, num_heads: int, lengths=None):
     b, t, inner = q.shape
     d = inner // num_heads
@@ -425,15 +452,17 @@ def _flash_route(q, k, v, num_heads: int, lengths=None):
         or (t <= _DENSE_MAX and k.shape[1] <= _DENSE_MAX)
     ):
         return _dense_flat(q, k, v, h, lengths)
-    if k.shape[1] <= _FULLK_MAX:
+    if k.shape[1] <= min(_FULLK_MAX, _fullk_smax(inner, h, q.dtype.itemsize)):
         return _flash_tpu_packed(
             q, k, v, lengths, num_heads=h, has_lens=lengths is not None
         )
-    # very long sequences (>4 min of audio): online-softmax blocked
-    # kernel, still in the packed layout — K is streamed in blocks so
-    # VMEM usage is independent of S
+    # very long sequences: online-softmax blocked kernel, still in the
+    # packed layout — K is streamed in blocks so VMEM usage is
+    # independent of S; block sizes scale with the model width
+    bq, bk = _blocked_blocks(inner, h, q.dtype.itemsize)
     return _flash_tpu_packed_blocked(
-        q, k, v, lengths, num_heads=h, has_lens=lengths is not None
+        q, k, v, lengths, num_heads=h, block_q=bq, block_k=bk,
+        has_lens=lengths is not None,
     )
 
 

@@ -1,7 +1,7 @@
 """All Pallas kernels together, end-to-end through the sampler on CPU.
 
 Each kernel (flash attention, GroupNorm32/LayerNorm, masked GroupNorm,
-GEGLU FFN) has isolated interpret-mode parity tests; this drives the
+GEGLU FFN, strided conv+GELU) has isolated interpret-mode parity tests; this drives the
 REAL kernel code paths composed inside the full inference pipeline and
 checks the result against the plain jnp execution — the closest CI can
 get to the TPU production configuration without a chip.
@@ -58,6 +58,7 @@ def test_all_kernels_through_sampler(monkeypatch):
     monkeypatch.setenv("SAID_FLASH_INTERPRET", "1")
     monkeypatch.setenv("SAID_NORM_INTERPRET", "1")
     monkeypatch.setenv("SAID_FFN_INTERPRET", "1")
+    monkeypatch.setenv("SAID_CONV_INTERPRET", "1")
     got = _infer("flash")
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
 
@@ -68,6 +69,7 @@ def test_all_kernels_through_bucketed_sampler(monkeypatch):
     monkeypatch.setenv("SAID_FLASH_INTERPRET", "1")
     monkeypatch.setenv("SAID_NORM_INTERPRET", "1")
     monkeypatch.setenv("SAID_FFN_INTERPRET", "1")
+    monkeypatch.setenv("SAID_CONV_INTERPRET", "1")
     got = _infer("flash", length_bucket=16, lengths=lengths)
     for i, ln in enumerate(lengths):
         frames = int(ln / 16000 * 60)

@@ -131,3 +131,41 @@ def test_packed_blocked_flash_runtime_lengths():
             atol=2e-5, rtol=1e-4,
         )
     assert np.all(np.isfinite(np.asarray(got)))
+
+
+def test_vmem_block_scaling_with_model_width():
+    """Kernel/router block sizing must scale with the packed inner dim:
+    the round-3 6-minute bench exposed a VMEM OOM when the 768-wide
+    wav2vec2 encoder hit block sizes tuned for the 192-wide denoiser."""
+    from said_tpu.ops.pallas_attention import _blocked_blocks, _fullk_smax
+
+    # denoiser (6 heads x 32, bf16): reproduces the tuned (512, 2048)
+    assert _blocked_blocks(192, 6, 2) == (512, 2048)
+    # wav2vec2 encoder (12 heads x 64, bf16): smaller blocks
+    bq, bk = _blocked_blocks(768, 12, 2)
+    assert bq <= 512 and bk < 2048
+    # double-buffered K+V blocks stay under ~8 MB at any width
+    for inner, h in [(192, 6), (768, 12), (1024, 16), (4096, 32)]:
+        bq, bk = _blocked_blocks(inner, h, 2)
+        assert bk * (2 * inner + h) * 2 * 2 <= 8 * 1024 * 1024 + 1
+        assert bq % 128 == 0 and bk % 128 == 0
+    # full-K ceiling: ~14.7k keys at inner=192, ~3.7k at inner=768
+    assert _fullk_smax(192, 6, 2) >= 14400
+    assert _fullk_smax(768, 12, 2) < 4000
+
+
+def test_packed_blocked_flash_wide_model():
+    """Blocked kernel at the wav2vec2 encoder width (12 heads x 64) with
+    the production block sizes from _blocked_blocks."""
+    from said_tpu.ops.pallas_attention import _blocked_blocks
+
+    b, h, d, t = 1, 12, 64, 320
+    q, k, v = _qkv(t, t, b=b, h=h, d=d)
+    ref = _dense_reference(q, k, v).reshape(b, t, h * d)
+    bq, bk = _blocked_blocks(h * d, h, 4)
+    got = _flash_tpu_packed_blocked(
+        q.reshape(b, t, h * d), k.reshape(b, t, h * d), v.reshape(b, t, h * d),
+        num_heads=h, block_q=min(bq, 128), block_k=min(bk, 128),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)

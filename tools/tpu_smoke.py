@@ -141,6 +141,29 @@ def main() -> int:
     _check("geglu_ffn", geglu_ffn_pallas(xf, w1, b1, w2, b2),
            _geglu_ffn_jnp(xf, w1, b1, w2, b2), tol, failures)
 
+    # --- blocked flash at ENCODER width (12 heads x 64) ----------------
+    # The round-3 6-minute bench exposed a VMEM OOM when the 768-wide
+    # wav2vec2 encoder hit block sizes tuned for the 192-wide denoiser;
+    # this runs the production _blocked_blocks sizing at that width.
+    from said_tpu.ops.pallas_attention import (
+        _blocked_blocks,
+        _flash_tpu_packed_blocked,
+    )
+
+    hw, dw = 12, 64
+    qw = jnp.asarray(rng.standard_normal((1, 2560, hw * dw)), dt)
+    kw = jnp.asarray(rng.standard_normal((1, 2560, hw * dw)), dt)
+    vw = jnp.asarray(rng.standard_normal((1, 2560, hw * dw)), dt)
+    wref = _dense_flat(
+        qw.astype(jnp.float32), kw.astype(jnp.float32),
+        vw.astype(jnp.float32), hw,
+    )
+    bqw, bkw = _blocked_blocks(hw * dw, hw, np.dtype(dt).itemsize)
+    _check("flash_blocked_wide768",
+           _flash_tpu_packed_blocked(
+               qw, kw, vw, num_heads=hw, block_q=bqw, block_k=bkw),
+           wref, tol, failures)
+
     # --- fused strided conv+GELU (wav2vec2 feature extractor) ----------
     from said_tpu.ops.pallas_conv import (
         _strided_conv_gelu_jnp,
