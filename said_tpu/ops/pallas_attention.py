@@ -561,15 +561,40 @@ def _sp_flash(num_heads: int):
     return fn
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention_flat_sp(q, k, v, num_heads: int):
     """Frame-sharded (sequence-parallel) flat attention — see ``_sp_flash``.
 
-    Inference path for extreme clip lengths on a mesh with a sharded
-    frame axis; no runtime-length support (SP serves one long clip, not
-    mixed-length buckets). Unsharded callers fall through to the normal
-    route unchanged.
+    Serves extreme clip lengths on a mesh with a sharded frame axis; no
+    runtime-length support (SP serves one long clip, not mixed-length
+    buckets). Unsharded callers fall through to the normal route
+    unchanged.
+
+    Differentiable: the forward runs the custom-partitioned kernel
+    (which has no AD rule of its own); the backward recomputes attention
+    densely from the saved q/k/v as plain einsums, which GSPMD
+    partitions from the operands' shardings — q and the cotangent stay
+    frame-sharded, K/V contributions are combined by the collectives XLA
+    inserts. Enables sequence-parallel TRAINING, which the reference
+    cannot express at all (SURVEY §2.9: no SP/CP; ``script/train.py``
+    caps windows instead, ``dataset_voca.py:553-554``).
     """
     return _sp_flash(num_heads)(q, k, v)
+
+
+def _flash_sp_fwd(q, k, v, num_heads):
+    return _sp_flash(num_heads)(q, k, v), (q, k, v)
+
+
+def _flash_sp_bwd(num_heads, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda a, b_, c: _dense_flat(a, b_, c, num_heads, None), q, k, v
+    )
+    return vjp(g)
+
+
+flash_attention_flat_sp.defvjp(_flash_sp_fwd, _flash_sp_bwd)
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

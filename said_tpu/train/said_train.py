@@ -120,14 +120,6 @@ def said_loss(
     frames — numerically identical to an unpadded batch of the real
     window size, so bucketing does not change the training distribution.
     """
-    if model.self_attn_impl == "flash_sp":
-        # custom_partitioning has no AD rule — jax.grad through it dies
-        # with a cryptic internal error. SP is a sampling feature; train
-        # with 'flash' (dense-recompute VJP) or 'dense'.
-        raise ValueError(
-            "self_attn_impl='flash_sp' is inference-only (not "
-            "differentiable); build the training model with 'flash'"
-        )
     b, window, c = coeffs.shape
     rng_t, rng_n, rng_drop, rng_enc = jax.random.split(rng, 4)
 

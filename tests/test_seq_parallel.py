@@ -50,6 +50,99 @@ def test_sp_attention_matches_dense():
     )
 
 
+def test_sp_attention_grads_match_dense():
+    """flash_sp is differentiable: its custom_vjp recomputes the dense
+    backward (GSPMD-partitioned einsums), so grads through the sharded
+    kernel equal grads through plain dense attention. The reference has
+    no sequence-parallel training at all (SURVEY §2.9)."""
+    b, h, d, t = 2, 2, 32, 256
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32)
+
+    def loss_sp(a, b_, c):
+        return (flash_attention_flat_sp(a, b_, c, h) * w).sum()
+
+    def loss_ref(a, b_, c):
+        return (_dense_flat(a, b_, c, h) * w).sum()
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    mesh = _seq_mesh(4)
+    shard = NamedSharding(mesh, P(None, "seq", None))
+    qs, ks, vs = (jax.device_put(x, shard) for x in (q, k, v))
+    got_grads = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(qs, ks, vs)
+
+    for got, ref in zip(got_grads, ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-4, rtol=1e-4
+        )
+
+
+def test_sp_train_step_runs():
+    """One full SAiD training step with the window (frame) axis sharded
+    over a 'seq' mesh and the flash_sp denoiser: compiles, runs, and the
+    updated params stay finite — sequence-parallel TRAINING, which the
+    reference cannot express (it caps windows instead,
+    ``script/dataset/dataset_voca.py:553-554``)."""
+    from said_tpu.cli._common import init_said_params
+    from said_tpu.diffusion.schedule import DiffusionSchedule
+    from said_tpu.models.said import SAID, process_audio
+    from said_tpu.models.wav2vec2 import Wav2Vec2Config
+    from said_tpu.train.said_train import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = Wav2Vec2Config(
+        conv_dim=(32, 32),
+        conv_stride=(5, 2),
+        conv_kernel=(10, 3),
+        hidden_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        intermediate_size=128,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        output_hidden_size=64,
+    )
+    model = SAID(audio_config=cfg, self_attn_impl="flash_sp")
+    schedule = DiffusionSchedule.create(model.diffusion_steps)
+    config = TrainConfig()
+    params = init_said_params(model, seed=0)
+    state = create_train_state(config, params)
+
+    mesh = _seq_mesh(4)
+    b, window = 2, 128
+    rng = np.random.default_rng(0)
+    wave = process_audio(
+        rng.standard_normal((b, 34134)).astype(np.float32)
+    )  # -> 128 frames at 60 fps
+    coeffs = rng.uniform(0, 1, (b, window, 32)).astype(np.float32)
+    batch = {
+        "waveform": jax.device_put(
+            jnp.asarray(wave), NamedSharding(mesh, P(None, None))
+        ),
+        "coeffs": jax.device_put(
+            jnp.asarray(coeffs), NamedSharding(mesh, P(None, "seq", None))
+        ),
+        "cond": jax.device_put(
+            jnp.ones((b,), bool), NamedSharding(mesh, P(None))
+        ),
+    }
+
+    train_step = jax.jit(make_train_step(model, schedule, config))
+    new_state, metrics = train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["nan_skipped"]) == 0.0
+    assert int(new_state.step) == 1
+    leaves = jax.tree_util.tree_leaves(new_state.params)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+
+
 def test_sp_unet_forward_matches_unsharded():
     """Full denoiser forward with frame-sharded latents: GSPMD convs
     (halo exchange), norms, banded cross-attention, and the flash_sp
