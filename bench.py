@@ -18,6 +18,9 @@ mid-measurement.
                          (frozen encoder + UNet fwd/bwd + AdamW + EMA),
                          chained in one program so the measurement is
                          device-bound
+  rtf_dpmpp25step_b1_60s DPM-Solver++(2M) fast sampling, 25 steps, 60 s
+                         clip (the production fast mode; the reference
+                         is DDIM-only)
   sp_flash_on_chip       flash_sp custom-partitioning program executed on
                          a real-TPU mesh (seq=1): proves the SP path
                          compiles + runs on hardware, value = max |err|
@@ -194,7 +197,7 @@ def main() -> None:
     sr = pipeline.sampling_rate
     rng = np.random.default_rng(0)
 
-    def timed(batch, secs, n_iters, **kw):
+    def timed(batch, secs, n_iters, steps=None, **kw):
         """Wall-seconds per pipeline.inference call (returns numpy, so the
         timing is a true sync point even over the axon tunnel). The
         compile call doubles as the warm call; best-of-two trial groups
@@ -205,7 +208,7 @@ def main() -> None:
         def run(seed):
             return pipeline.inference(
                 waveform_processed=processed,
-                num_inference_steps=num_steps,
+                num_inference_steps=num_steps if steps is None else steps,
                 guidance_scale=2.0,
                 rng=jax.random.PRNGKey(seed),
                 **kw,
@@ -281,7 +284,9 @@ def main() -> None:
         t0 = time.perf_counter()
         run_bucketed(0)  # compile + warm
         _note(f"  compile+warm {time.perf_counter() - t0:.1f}s")
-        iters = 2 if on_tpu else 1
+        # each bucketed run is <0.5 s wall; 4 iters x best-of-2 tames the
+        # 28-30x run-to-run spread seen at 2 iters on the shared tunnel
+        iters = 4 if on_tpu else 1
         wall = None
         for _ in range(2 if on_tpu else 1):
             t0 = time.perf_counter()
@@ -362,6 +367,18 @@ def main() -> None:
         wall = timed(1, secs, 1)
         _emit(f"rtf_{num_steps}step_b1_360s", secs / wall, "x_realtime")
 
+    def m_dpmpp():
+        # DPM-Solver++(2M) at 25 steps on the 60 s clip: the production
+        # fast-sampling mode (second-order ODE solver — far fewer steps
+        # for the same error; see tests/test_dpm_solver.py for the
+        # solver-order proof). The reference has no fast sampler at all
+        # (DDIM only, said/model/diffusion.py:100-104).
+        secs = 60.0 if on_tpu else 1.0
+        steps = 25 if on_tpu else 5
+        wall = timed(1, secs, 3 if on_tpu else 1, steps=steps,
+                     solver="dpmpp_2m")
+        _emit(f"rtf_dpmpp{steps}step_b1_60s", secs / wall, "x_realtime")
+
     def m_sp_on_chip():
         # Run the flash_sp custom-partitioning program on a real-device
         # mesh (seq=1 on the single chip): proves the SP lowering
@@ -378,6 +395,7 @@ def main() -> None:
         ("steps_per_sec_b32", m_b32),
         ("rtf_bucketed_mixed", m_bucketed),
         ("train_steps_per_sec", m_train),
+        ("rtf_dpmpp25step_b1_60s", m_dpmpp),
         ("sp_flash_on_chip_maxerr", m_sp_on_chip),
         ("rtf_1000step_b1_360s", m_long6m),
     ]

@@ -13,6 +13,23 @@ from said_tpu.models.said import SAID
 from said_tpu.models.vae import BCVAE
 
 
+def configure_platform(device: str = "") -> None:
+    """Select the jax platform BEFORE first backend use.
+
+    This jax build ignores the ``JAX_PLATFORMS`` env var, so the CLIs
+    honor it (and the reference-compatible ``--device`` flag, e.g.
+    ``--device cpu``) through the config API instead. ``cuda:0``-style
+    values from reference commands fall through to the default backend
+    (the accelerator jax selects). No-op once a backend is initialized.
+    """
+    want = (device or os.environ.get("JAX_PLATFORMS", "")).strip().lower()
+    if want.startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass  # backend already initialized; use whatever exists
+
+
 def str2bool(v) -> bool:
     """Argparse bool that actually parses falsy strings.
 

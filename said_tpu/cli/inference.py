@@ -14,7 +14,7 @@ import os
 import jax
 import numpy as np
 
-from said_tpu.cli._common import build_said_model, load_said_params, str2bool
+from said_tpu.cli._common import configure_platform, build_said_model, load_said_params, str2bool
 from said_tpu.data.blendvoca import BLENDSHAPE_CLASSES
 from said_tpu.models.said import SAIDPipeline, process_audio
 from said_tpu.utils.audio import fit_audio_unet, load_audio
@@ -43,10 +43,17 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--guidance_scale", type=float, default=2.0)
     parser.add_argument("--guidance_rescale", type=float, default=0.0)
     parser.add_argument("--eta", type=float, default=0.0)
+    parser.add_argument(
+        "--solver", type=str, default="ddim", choices=["ddim", "dpmpp_2m"],
+        help="ddim = the reference's sampler; dpmpp_2m = DPM-Solver++(2M) "
+             "multistep (a second-order ODE solver: far fewer steps for "
+             "the same error, e.g. --num_steps 10-25; deterministic, so "
+             "--eta must be 0)",
+    )
     parser.add_argument("--fps", type=int, default=60)
     parser.add_argument("--divisor_unet", type=int, default=1)
     parser.add_argument("--unet_feature_dim", type=int, default=-1)
-    parser.add_argument("--device", type=str, default="", help="ignored (jax selects)")
+    parser.add_argument("--device", type=str, default="", help="cpu forces the host platform; other values use the accelerator jax selects")
     parser.add_argument("--init_sample_path", type=str)
     parser.add_argument("--mask_path", type=str)
     parser.add_argument("--seed", type=int, default=0)
@@ -81,6 +88,7 @@ def main(argv=None) -> None:
     )
     add_arguments(parser)
     args = parser.parse_args(argv)
+    configure_platform(getattr(args, "device", ""))
 
     seq_mesh = None
     divisor = args.divisor_unet
@@ -139,6 +147,7 @@ def main(argv=None) -> None:
         guidance_scale=args.guidance_scale,
         guidance_rescale=args.guidance_rescale,
         eta=args.eta,
+        solver=args.solver,
         fps=args.fps,
         rng=jax.random.PRNGKey(args.seed),
         save_intermediate=args.save_intermediate,

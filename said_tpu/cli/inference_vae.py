@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from said_tpu.cli._common import load_vae, str2bool
+from said_tpu.cli._common import configure_platform, load_vae, str2bool
 from said_tpu.data.blendvoca import BLENDSHAPE_CLASSES
 from said_tpu.utils.blendshape import (
     load_blendshape_coeffs,
@@ -35,9 +35,10 @@ def main(argv=None) -> None:
     parser.add_argument("--output_image_path", type=str, default="../out.png")
     parser.add_argument("--save_image", type=str2bool, default=False)
     parser.add_argument("--use_noise", type=str2bool, default=False)
-    parser.add_argument("--device", type=str, default="", help="ignored (jax selects)")
+    parser.add_argument("--device", type=str, default="", help="cpu forces the host platform; other values use the accelerator jax selects")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
+    configure_platform(getattr(args, "device", ""))
 
     model, params, batch_stats = load_vae(args.weights_path, seed=args.seed)
 

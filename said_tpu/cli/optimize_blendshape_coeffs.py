@@ -28,6 +28,9 @@ from said_tpu.utils.blendshape import save_blendshape_coeffs
 from said_tpu.utils.parser import parse_list
 
 
+from said_tpu.cli._common import configure_platform
+
+
 def main(argv=None) -> None:
     default_data_dir = pathlib.Path("/root/reference/data")
 
@@ -48,6 +51,7 @@ def main(argv=None) -> None:
     parser.add_argument("--output_dir", type=str, default="../BlendVOCA/blendshape_coeffs")
     parser.add_argument("--delta", type=float, default=0.1)
     args = parser.parse_args(argv)
+    configure_platform(getattr(args, "device", ""))
 
     blendshape_names = (
         parse_list(args.blendshape_list_path, str)

@@ -22,6 +22,9 @@ from said_tpu.utils.mesh import create_mesh, get_submesh, load_mesh, save_mesh
 from said_tpu.utils.parser import parse_list
 
 
+from said_tpu.cli._common import configure_platform
+
+
 def main(argv=None) -> None:
     default_data_dir = pathlib.Path("/root/reference/data")
 
@@ -40,6 +43,7 @@ def main(argv=None) -> None:
     parser.add_argument("--neutrals_dir", type=str, default="../BlendVOCA/templates_head")
     parser.add_argument("--blendshapes_dir", type=str, default="../BlendVOCA/blendshapes_head")
     args = parser.parse_args(argv)
+    configure_platform(getattr(args, "device", ""))
 
     head_idx = parse_list(args.head_idx_path, int)
     blendshape_deltas = load_blendshape_deltas(args.blendshape_deltas_path)

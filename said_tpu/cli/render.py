@@ -24,6 +24,9 @@ from said_tpu.utils.mesh import load_mesh
 from said_tpu.utils.parser import parse_list
 
 
+from said_tpu.cli._common import configure_platform
+
+
 def load_blendshape_setup(neutral_path: str, blendshapes_dir: str, names):
     neutral = load_mesh(neutral_path)
     matrix = np.stack(
@@ -58,6 +61,7 @@ def main(argv=None) -> None:
     parser.add_argument("--width", type=int, default=800)
     parser.add_argument("--height", type=int, default=800)
     args = parser.parse_args(argv)
+    configure_platform(getattr(args, "device", ""))
 
     names = (
         parse_list(args.blendshape_list_path, str)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from said_tpu.cli._common import load_vae
+from said_tpu.cli._common import configure_platform, load_vae
 from said_tpu.data.blendvoca import BlendVOCAEvalDataset
 from said_tpu.eval.metrics import (
     frechet_distance,
@@ -121,7 +121,7 @@ def main(argv=None) -> None:
     parser.add_argument("--bc_threshold", type=float, default=0.1)
     parser.add_argument("--wind_num_clusters", type=int, default=5)
     parser.add_argument("--wind_num_repeats", type=int, default=10)
-    parser.add_argument("--device", type=str, default="", help="ignored (jax selects)")
+    parser.add_argument("--device", type=str, default="", help="cpu forces the host platform; other values use the accelerator jax selects")
     parser.add_argument(
         "--beat_consistency", action="store_true",
         help="also compute the beat-consistency score (the reference "
@@ -133,6 +133,7 @@ def main(argv=None) -> None:
              "--blendshape_residuals_path)",
     )
     args = parser.parse_args(argv)
+    configure_platform(getattr(args, "device", ""))
 
     model, params, batch_stats = load_vae(args.vae_weights_path)
 

@@ -16,7 +16,7 @@ import os
 import jax
 import numpy as np
 
-from said_tpu.cli._common import build_said_model, load_said_params
+from said_tpu.cli._common import configure_platform, build_said_model, load_said_params
 from said_tpu.data.blendvoca import BLENDSHAPE_CLASSES, BlendVOCATestDataset
 from said_tpu.models.said import SAIDPipeline, process_audio
 from said_tpu.utils.audio import fit_audio_unet
@@ -36,10 +36,15 @@ def main(argv=None) -> None:
     parser.add_argument("--guidance_scale", type=float, default=2.0)
     parser.add_argument("--guidance_rescale", type=float, default=0.0)
     parser.add_argument("--eta", type=float, default=0.0)
+    parser.add_argument(
+        "--solver", type=str, default="ddim", choices=["ddim", "dpmpp_2m"],
+        help="ddim = the reference's sampler; dpmpp_2m = DPM-Solver++(2M) "
+             "fast multistep sampling (pair with e.g. --num_steps 25)",
+    )
     parser.add_argument("--fps", type=int, default=60)
     parser.add_argument("--divisor_unet", type=int, default=1)
     parser.add_argument("--unet_feature_dim", type=int, default=-1)
-    parser.add_argument("--device", type=str, default="", help="ignored (jax selects)")
+    parser.add_argument("--device", type=str, default="", help="cpu forces the host platform; other values use the accelerator jax selects")
     parser.add_argument("--num_repeats", type=int, default=72)
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--seed", type=int, default=0)
@@ -61,6 +66,7 @@ def main(argv=None) -> None:
              "repeating one clip per batch; requires --length_bucket",
     )
     args = parser.parse_args(argv)
+    configure_platform(getattr(args, "device", ""))
 
     model = build_said_model(
         prediction_type=args.prediction_type,
@@ -111,6 +117,7 @@ def main(argv=None) -> None:
                 guidance_scale=args.guidance_scale,
                 guidance_rescale=args.guidance_rescale,
                 eta=args.eta,
+                solver=args.solver,
                 fps=args.fps,
                 rng=step_rng,
                 length_bucket=args.length_bucket,
@@ -168,6 +175,7 @@ def _run_mixed(args, pipeline, dataset, rng):
             guidance_scale=args.guidance_scale,
             guidance_rescale=args.guidance_rescale,
             eta=args.eta,
+            solver=args.solver,
             fps=args.fps,
             rng=step_rng,
             length_bucket=args.length_bucket,

@@ -21,6 +21,9 @@ from said_tpu.utils.blendshape import load_blendshape_coeffs
 from said_tpu.utils.parser import parse_list
 
 
+from said_tpu.cli._common import configure_platform
+
+
 def main(argv=None) -> None:
     default_data_dir = pathlib.Path("/root/reference/data")
     parser = argparse.ArgumentParser(
@@ -37,6 +40,7 @@ def main(argv=None) -> None:
     parser.add_argument("--repeat_index", type=int, default=-1,
                         help="render only sentenceXX-<idx>.csv files (-1 = all)")
     args = parser.parse_args(argv)
+    configure_platform(getattr(args, "device", ""))
 
     names = (
         parse_list(args.blendshape_list_path, str)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from said_tpu.cli._common import build_said_model, init_said_params, load_said_params, str2bool
+from said_tpu.cli._common import configure_platform, build_said_model, init_said_params, load_said_params, str2bool
 from said_tpu.core.logging import MetricsWriter
 from said_tpu.data.blendvoca import (
     BlendVOCATrainDataset,
@@ -134,6 +134,7 @@ def main(argv=None) -> None:
     )
     add_arguments(parser)
     args = parser.parse_args(argv)
+    configure_platform(getattr(args, "device", ""))
 
     maybe_init_distributed()  # multi-host: no-op unless a coordinator is set
 

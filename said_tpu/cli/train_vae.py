@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from said_tpu.cli._common import str2bool
+from said_tpu.cli._common import configure_platform, str2bool
 from said_tpu.cli._common import str2bool
 from said_tpu.core.logging import MetricsWriter
 from said_tpu.data.blendvoca import BlendVOCAVAEDataset
@@ -53,6 +53,7 @@ def main(argv=None) -> None:
     parser.add_argument("--save_period", type=int, default=200)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
+    configure_platform(getattr(args, "device", ""))
 
     model = BCVAE()
     rng = jax.random.PRNGKey(args.seed)

@@ -186,6 +186,101 @@ def ddim_step(
     return prev_sample
 
 
+def pred_x0_from_model_output(
+    schedule: DiffusionSchedule,
+    model_output: jnp.ndarray,
+    alpha_t: jnp.ndarray,
+    sample: jnp.ndarray,
+) -> jnp.ndarray:
+    """Convert a model output into the predicted clean sample x0.
+
+    Same prediction-type conversions (and clip) as ``ddim_step``;
+    ``alpha_t`` is the (traced) scalar cumulative alpha at the current
+    timestep, already cast to the sample dtype.
+    """
+    beta_t = 1.0 - alpha_t
+    pt = schedule.prediction_type
+    if pt == "epsilon":
+        x0 = (sample - jnp.sqrt(beta_t) * model_output) / jnp.sqrt(alpha_t)
+    elif pt == "sample":
+        x0 = model_output
+    elif pt == "v_prediction":
+        x0 = jnp.sqrt(alpha_t) * sample - jnp.sqrt(beta_t) * model_output
+    else:  # pragma: no cover - guarded in create()
+        raise ValueError(pt)
+    if schedule.clip_sample:
+        r = schedule.clip_sample_range
+        x0 = jnp.clip(x0, -r, r)
+    return x0
+
+
+def dpmpp_2m_tables(
+    schedule: DiffusionSchedule,
+    ts_used: np.ndarray,
+    num_inference_steps: int,
+) -> dict:
+    """Per-step coefficient tables for DPM-Solver++(2M), data-prediction
+    multistep (Lu et al. 2022, arXiv:2211.01095 — a capability beyond
+    the reference, whose sampler is DDIM only,
+    ``said/model/diffusion.py:100-104,441-443``).
+
+    The update from the current step s0 to the target (previous) step t:
+
+        x_t = (sigma_t / sigma_s0) x
+              - alpha_t (e^{-h} - 1) [ D0 + 1/(2 r0) (D0 - D1_prev) ]
+
+    with lambda = log(alpha/sigma), h = lambda_t - lambda_s0,
+    h0 = lambda_s0 - lambda_s1, r0 = h0/h, D0 = x0(s0), D1_prev = x0(s1).
+    Because the timestep grid is static, every coefficient is a host
+    float64 scalar per step — the scan body stays branch-free:
+
+        new = c_x * x + c_d0 * x0 + (1 - first) * c_d1 * (x0 - prev_x0)
+
+    ``first`` marks first-order steps: the chain start (no x0 history)
+    and the final boundary step (sigma_t = 0 under set_alpha_to_one
+    makes h infinite; the first-order update there is exact: x = x0 —
+    the same boundary handling diffusers' ``lower_order_final`` /
+    sigma-zero special case performs).
+    """
+    acp = np.asarray(schedule.alphas_cumprod, np.float64)
+    ts = np.asarray(ts_used, np.int64)
+    step = schedule.num_train_timesteps // num_inference_steps
+    prev = ts - step
+    a_cur = acp[ts]
+    a_prev = np.where(
+        prev >= 0, acp[np.maximum(prev, 0)], float(schedule.final_alpha_cumprod)
+    )
+    alpha_c, sigma_c = np.sqrt(a_cur), np.sqrt(1.0 - a_cur)
+    alpha_p, sigma_p = np.sqrt(a_prev), np.sqrt(1.0 - a_prev)
+    with np.errstate(divide="ignore"):
+        lam_c = np.log(alpha_c) - np.log(sigma_c)
+        lam_p = np.log(alpha_p) - np.log(sigma_p)  # +inf where sigma_p == 0
+    h = lam_p - lam_c
+    k = len(ts)
+    first = np.zeros(k)
+    first[0] = 1.0
+    first[~np.isfinite(h)] = 1.0  # sigma_t = 0 boundary: exact 1st order
+
+    c_x = np.where(sigma_c > 0, sigma_p / np.maximum(sigma_c, 1e-300), 0.0)
+    # exp(-h) - 1; at h = inf this is exactly -1 (the x = x0 boundary)
+    phi = np.where(np.isfinite(h), np.expm1(-np.where(np.isfinite(h), h, 0.0)), -1.0)
+    c_d0 = -alpha_p * phi
+
+    h0 = np.zeros(k)
+    h0[1:] = lam_c[1:] - lam_c[:-1]
+    safe_h = np.where((first > 0) | ~np.isfinite(h), 1.0, h)
+    r0 = h0 / safe_h
+    c_d1 = np.where(first > 0, 0.0, -0.5 * alpha_p * phi / np.maximum(r0, 1e-300))
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    return {
+        "c_x": f32(c_x),
+        "c_d0": f32(c_d0),
+        "c_d1": f32(c_d1),
+        "first": f32(first),
+    }
+
+
 def rescale_noise_cfg(
     noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray, guidance_rescale: float
 ) -> jnp.ndarray:

@@ -403,6 +403,7 @@ class SAIDPipeline:
         guidance_scale: float = 2.5,
         guidance_rescale: float = 0.0,
         eta: float = 0.0,
+        solver: str = "ddim",
         fps: int = 60,
         rng: Optional[jax.Array] = None,
         latents: Optional[np.ndarray] = None,
@@ -508,6 +509,7 @@ class SAIDPipeline:
             guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale,
             eta=eta,
+            solver=solver,
             unroll=scan_unroll,
         )
         use_init = init_samples is not None
