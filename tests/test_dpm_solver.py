@@ -211,6 +211,29 @@ def test_unknown_solver_rejected():
         )
 
 
+def test_dpmpp_exact_on_delta_data_v_prediction():
+    """Same exactness property with a v-prediction model: pins the
+    pred_x0 conversion for the non-epsilon branches."""
+    schedule = DiffusionSchedule.create(1000, prediction_type="v_prediction")
+    acp = schedule.alphas_cumprod
+    x_star = jnp.asarray(
+        np.random.default_rng(4).uniform(0.1, 0.9, (1, 8, 4)), jnp.float32
+    )
+
+    def ideal_v(x, t, context):
+        del context
+        a = acp[t][:, None, None].astype(x.dtype)
+        # eps implied by x0 = x_star at (x, t); v = sqrt(a) eps - sqrt(1-a) x0
+        eps = (x - jnp.sqrt(a) * x_star) / jnp.sqrt(1.0 - a)
+        return jnp.sqrt(a) * eps - jnp.sqrt(1.0 - a) * x_star
+
+    x_init = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(5), (1, 8, 4)), np.float32
+    )
+    got = _run_sampler(schedule, ideal_v, x_init, 8, "dpmpp_2m")
+    np.testing.assert_allclose(got, np.asarray(x_star), atol=1e-5)
+
+
 def test_dpmpp_pipeline_end_to_end():
     """Full SAIDPipeline with solver='dpmpp_2m' (CFG on): compiles, runs,
     output in [0, 1] with the right frame count."""

@@ -263,6 +263,51 @@ def test_sp_encoder_matches_unsharded():
     )
 
 
+def test_sp_pipeline_dpmpp_matches_unsharded():
+    """Sequence-parallel sampling composes with the DPM-Solver++(2M)
+    fast sampler: the solver tables ride the scan as per-step scalars,
+    orthogonal to the frame sharding."""
+    from said_tpu.cli._common import init_said_params
+    from said_tpu.models.said import SAID, SAIDPipeline, process_audio
+    from said_tpu.models.wav2vec2 import Wav2Vec2Config
+
+    cfg = Wav2Vec2Config(
+        conv_dim=(32, 32),
+        conv_stride=(5, 2),
+        conv_kernel=(10, 3),
+        hidden_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        intermediate_size=128,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        output_hidden_size=64,
+    )
+    rng = np.random.default_rng(0)
+    t_a = 34134  # 128 frames -> divisible by 4 shards
+    wave = process_audio(rng.standard_normal((1, t_a)).astype(np.float32))
+
+    outs = {}
+    for impl, mesh in (("dense", None), ("flash_sp", _seq_mesh(4))):
+        model = SAID(
+            audio_config=cfg, self_attn_impl=impl,
+            encoder_attn_impl=impl if impl == "flash_sp" else "dense",
+        )
+        params = init_said_params(model, seed=0)
+        outs[impl] = SAIDPipeline(model, params).inference(
+            waveform_processed=wave,
+            num_inference_steps=4,
+            guidance_scale=2.0,
+            solver="dpmpp_2m",
+            rng=jax.random.PRNGKey(0),
+            seq_mesh=mesh,
+        ).result
+
+    np.testing.assert_allclose(
+        outs["flash_sp"], outs["dense"], atol=1e-4, rtol=1e-3
+    )
+
+
 def test_sp_rejects_indivisible_frames():
     from said_tpu.cli._common import init_said_params
     from said_tpu.models.said import SAID, SAIDPipeline, process_audio
