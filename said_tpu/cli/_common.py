@@ -28,6 +28,20 @@ def configure_platform(device: str = "") -> None:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass  # backend already initialized; use whatever exists
+    # honor the conventional virtual-device-count hint too (also an
+    # env var this jax build ignores), so multi-device CPU runs of the
+    # CLIs (e.g. --mesh_seq on a virtual mesh) work as documented
+    import re
+
+    m = re.search(
+        r"xla_force_host_platform_device_count=(\d+)",
+        os.environ.get("XLA_FLAGS", ""),
+    )
+    if m:
+        try:
+            jax.config.update("jax_num_cpu_devices", int(m.group(1)))
+        except Exception:
+            pass
 
 
 def str2bool(v) -> bool:

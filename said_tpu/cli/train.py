@@ -8,7 +8,9 @@ TPU-first differences (documented, not silent):
 
 - The train step is ONE jitted program; batches are sharded over the
   mesh's 'data' axis (``--mesh_data`` devices), XLA inserts the
-  gradient all-reduce.
+  gradient all-reduce. ``--mesh_seq`` additionally shards the window
+  (frame) axis — sequence-parallel training through the differentiable
+  flash_sp attention, for full-clip fine-tuning.
 - Random window sizes are padded up to multiples of ``--window_bucket``
   (default 8) with masked norms/attention/losses, so a handful of
   compiled programs serve the reference's fully-random window
@@ -42,7 +44,6 @@ from said_tpu.diffusion.schedule import DiffusionSchedule
 from said_tpu.models.said import process_audio
 from said_tpu.parallel.mesh import (
     MeshConfig,
-    batch_sharding,
     make_mesh,
     maybe_init_distributed,
     put_global,
@@ -99,6 +100,15 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
     )
     parser.add_argument("--mesh_data", type=int, default=-1)
     parser.add_argument("--mesh_model", type=int, default=1)
+    parser.add_argument(
+        "--mesh_seq", type=int, default=1,
+        help="shard the window (frame) axis over this many devices — "
+             "sequence-parallel training via the differentiable flash_sp "
+             "attention (full-clip fine-tuning when windows exceed one "
+             "chip; the reference caps windows instead, "
+             "dataset_voca.py:553-554). Window buckets are rounded up so "
+             "the shard count divides every padded window.",
+    )
     parser.add_argument("--init_weights", type=str, default="",
                         help="optional pretrained .pth (e.g. wav2vec2 import)")
     parser.add_argument("--resume", type=str, default="")
@@ -138,10 +148,22 @@ def main(argv=None) -> None:
 
     maybe_init_distributed()  # multi-host: no-op unless a coordinator is set
 
+    seq_axis = max(args.mesh_seq, 1)
+    if seq_axis > 1:
+        import math as _math
+
+        # every padded window (train and val buckets) must divide the
+        # seq axis so the frame sharding is even
+        args.window_bucket = _math.lcm(max(args.window_bucket, 1), seq_axis)
+        args.val_window_bucket = _math.lcm(
+            max(args.val_window_bucket, 1), seq_axis
+        )
+
     model = build_said_model(
         prediction_type=args.prediction_type,
         feature_dim=args.unet_feature_dim,
         dtype=args.dtype,
+        attn_impl="flash_sp" if seq_axis > 1 else "auto",
         remat=bool(args.gradient_checkpointing),
     )
     schedule = DiffusionSchedule.create(
@@ -206,11 +228,11 @@ def main(argv=None) -> None:
     data_axis = (
         args.mesh_data
         if args.mesh_data > 0
-        else fit_data_axis(args.batch_size, n_devices, args.mesh_model)
+        else fit_data_axis(args.batch_size, n_devices, args.mesh_model, seq_axis)
     )
     mesh = make_mesh(
-        MeshConfig(data=data_axis, model=args.mesh_model),
-        devices=_jax.devices()[: data_axis * args.mesh_model],
+        MeshConfig(data=data_axis, model=args.mesh_model, seq=seq_axis),
+        devices=_jax.devices()[: data_axis * args.mesh_model * seq_axis],
     )
     params = shard_params(params, mesh)
     state = create_train_state(config, params)
@@ -238,7 +260,6 @@ def main(argv=None) -> None:
         state = jax.tree_util.tree_map(place, restored, state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
-    data_shard = batch_sharding(mesh)
     train_step = jax.jit(make_train_step(model, schedule, config))
     eval_step = jax.jit(make_eval_step(model, schedule, config))
 
@@ -291,25 +312,34 @@ def main(argv=None) -> None:
                 )
         # Replicate batches that don't divide the data axis (e.g. the
         # batch-1 validation loader) instead of erroring.
-        from said_tpu.parallel.mesh import replicated
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
         # put_global handles multi-host meshes: every process builds the
         # same global batch (seed-synchronized loaders) and contributes
         # only its own rows via make_array_from_process_local_data.
-        shard = data_shard if len(waves) % data_axis == 0 else replicated(mesh)
+        row = "data" if len(waves) % data_axis == 0 else None
+        # sequence-parallel: shard the window (frame) axis over 'seq'
+        # (the bucket is an lcm with the seq axis, so frames divide)
+        frames_sharded = seq_axis > 1 and coeffs.shape[1] % seq_axis == 0
+        coeff_spec = P(row, "seq", None) if frames_sharded else P(row)
+        mask_spec = P(row, "seq") if frames_sharded else P(row)
+
+        def put(x, spec):
+            return put_global(x, NamedSharding(mesh, spec))
+
         out = {
-            "waveform": put_global(wave_np, shard),
-            "coeffs": put_global(coeffs.astype(np.float32), shard),
-            "cond": put_global(batch.cond, shard),
+            "waveform": put(wave_np, P(row)),
+            "coeffs": put(coeffs.astype(np.float32), coeff_spec),
+            "cond": put(batch.cond, P(row)),
         }
         if std is not None:
             out["std"] = std
         if batch.blendshape_delta is not None:
-            out["blendshape_delta"] = put_global(
-                batch.blendshape_delta.astype(np.float32), shard
+            out["blendshape_delta"] = put(
+                batch.blendshape_delta.astype(np.float32), P(row)
             )
         if mask_time is not None:
-            out["mask_time_indices"] = put_global(mask_time, shard)
+            out["mask_time_indices"] = put(mask_time, mask_spec)
         if dynamic:
             out["window_real"] = jnp.asarray(ws_real, jnp.int32)
             out["input_length"] = jnp.asarray(wave_real, jnp.int32)

@@ -418,6 +418,11 @@ class SAIDPipeline:
         ``latents`` may be passed explicitly (parity tests inject the
         reference's gaussian draw); otherwise drawn from ``rng``.
 
+        ``solver`` — "ddim" (reference semantics) or "dpmpp_2m"
+        (DPM-Solver++(2M) fast sampling, far fewer steps for the same
+        error; beyond the reference, which is DDIM-only). Orthogonal to
+        bucketing / SP / editing — it only changes the per-step update.
+
         ``length_bucket`` > 0 enables length-bucketed execution: inputs
         are zero-padded to the next multiple of ``length_bucket`` frames
         and a single compiled program serves every clip length within the

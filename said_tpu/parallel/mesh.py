@@ -30,41 +30,52 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Logical mesh shape. ``data * model`` must equal the device count."""
+    """Logical mesh shape. ``data * model * seq`` must equal the device
+    count. ``seq`` > 1 shards the frame (window) axis — sequence-parallel
+    training/eval (the flash_sp attention rule + GSPMD spatial
+    partitioning of convs/norms)."""
 
     data: int = -1  # -1 → all remaining devices
     model: int = 1
+    seq: int = 1
 
     def resolve(self, n_devices: int) -> "MeshConfig":
         d = self.data
+        per_data = self.model * self.seq
         if d == -1:
-            if n_devices % self.model:
-                raise ValueError(f"{n_devices} devices not divisible by model={self.model}")
-            d = n_devices // self.model
-        if d * self.model != n_devices:
+            if n_devices % per_data:
+                raise ValueError(
+                    f"{n_devices} devices not divisible by "
+                    f"model*seq={per_data}"
+                )
+            d = n_devices // per_data
+        if d * per_data != n_devices:
             raise ValueError(
-                f"mesh {d}x{self.model} != device count {n_devices}"
+                f"mesh {d}x{self.model}x{self.seq} != device count {n_devices}"
             )
-        return MeshConfig(data=d, model=self.model)
+        return MeshConfig(data=d, model=self.model, seq=self.seq)
 
 
 def make_mesh(
     config: MeshConfig = MeshConfig(), devices: Optional[Sequence] = None
 ) -> Mesh:
-    """Build a ('data', 'model') mesh over the given (or all) devices."""
+    """Build a ('data', 'model', 'seq') mesh over the given (or all)
+    devices (unused axes have size 1)."""
     devices = list(devices if devices is not None else jax.devices())
     cfg = config.resolve(len(devices))
-    arr = np.asarray(devices).reshape(cfg.data, cfg.model)
-    return Mesh(arr, axis_names=("data", "model"))
+    arr = np.asarray(devices).reshape(cfg.data, cfg.model, cfg.seq)
+    return Mesh(arr, axis_names=("data", "model", "seq"))
 
 
-def fit_data_axis(batch_size: int, n_devices: int, model_axis: int = 1) -> int:
+def fit_data_axis(
+    batch_size: int, n_devices: int, model_axis: int = 1, seq_axis: int = 1
+) -> int:
     """Largest data-axis size that divides both the batch and the devices.
 
     Keeps small-batch runs valid on large meshes (extra devices idle
     rather than erroring on an indivisible batch shard).
     """
-    avail = n_devices // model_axis
+    avail = n_devices // (model_axis * seq_axis)
     d = min(batch_size, avail)
     while d > 1 and (batch_size % d or avail % d):
         d -= 1
@@ -96,12 +107,20 @@ def _union_slice(slices: Sequence[slice], dim_size: int) -> slice:
     devices' index slices, which XLA lays out contiguously for a
     leading-axis ('data') sharding.
     """
-    starts = [s.start if s.start is not None else 0 for s in slices]
-    stops = [s.stop if s.stop is not None else dim_size for s in slices]
-    lo, hi = min(starts), max(stops)
-    if hi - lo != sum(st - sa for sa, st in zip(starts, stops)) and len(
-        set((sa, st) for sa, st in zip(starts, stops))
-    ) != 1:
+    # Distinct spans only: devices along non-batch mesh axes ('model',
+    # 'seq') hold IDENTICAL row ranges — dedup before the contiguity
+    # check, or any co-sharded batch would be rejected.
+    spans = sorted(
+        {
+            (
+                s.start if s.start is not None else 0,
+                s.stop if s.stop is not None else dim_size,
+            )
+            for s in slices
+        }
+    )
+    lo, hi = spans[0][0], spans[-1][1]
+    if hi - lo != sum(st - sa for sa, st in spans):
         raise ValueError(f"non-contiguous device slices: {slices}")
     return slice(lo, hi)
 

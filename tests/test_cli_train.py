@@ -49,8 +49,14 @@ def toy_train_tree(tmp_path_factory):
     return str(audio_dir), str(coeffs_dir)
 
 
-def _tiny_model(**kwargs):
-    return SAID(audio_config=TINY_AUDIO, dtype=jnp.float32)
+def _tiny_model(attn_impl="auto", **kwargs):
+    sp = attn_impl == "flash_sp"
+    return SAID(
+        audio_config=TINY_AUDIO,
+        dtype=jnp.float32,
+        self_attn_impl="flash_sp" if sp else "dense",
+        encoder_attn_impl="flash_sp" if sp else "dense",
+    )
 
 
 def test_train_cli_two_epochs(toy_train_tree, tmp_path, monkeypatch):
@@ -81,6 +87,38 @@ def test_train_cli_two_epochs(toy_train_tree, tmp_path, monkeypatch):
     assert "Validation/loss" in lines[1]  # val ran on epoch 2
     # full train state checkpointed
     assert (pathlib.Path(out_dir) / "ckpt" / "2").exists()
+
+
+def test_train_cli_sequence_parallel(toy_train_tree, tmp_path, monkeypatch):
+    """--mesh_seq 2: the window (frame) axis shards over a 'seq' mesh
+    axis and gradients flow through the differentiable flash_sp
+    attention — CLI-level sequence-parallel training, which the
+    reference cannot express at all (SURVEY §2.9)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    import said_tpu.cli.train as train_cli
+
+    monkeypatch.setattr(train_cli, "build_said_model", _tiny_model)
+    audio_dir, coeffs_dir = toy_train_tree
+    out_dir = str(tmp_path / "out-sp")
+    train_cli.main([
+        "--audio_dir", audio_dir,
+        "--coeffs_dir", coeffs_dir,
+        "--output_dir", out_dir,
+        "--epochs", "1",
+        "--batch_size", "2",
+        "--num_warmup_epochs", "1",
+        "--val_period", "1000",
+        "--save_period", "1000",
+        "--mesh_seq", "2",
+        "--export_pth", "",
+    ])
+    metrics_path = pathlib.Path(out_dir) / "SAiD" / "metrics.jsonl"
+    lines = [json.loads(l) for l in metrics_path.read_text().splitlines()]
+    assert len(lines) == 1
+    assert np.isfinite(lines[0]["Train/loss"])
 
 
 def test_vae_train_cli_two_epochs(toy_train_tree, tmp_path):

@@ -15,9 +15,11 @@ def test_virtual_mesh_has_8_devices():
 
 def test_mesh_shapes():
     mesh = make_mesh(MeshConfig(data=-1, model=2))
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "model": 2, "seq": 1}
     mesh = make_mesh(MeshConfig())
-    assert mesh.shape == {"data": 8, "model": 1}
+    assert mesh.shape == {"data": 8, "model": 1, "seq": 1}
+    mesh = make_mesh(MeshConfig(data=-1, model=2, seq=2))
+    assert mesh.shape == {"data": 2, "model": 2, "seq": 2}
 
 
 def test_tp_rules():
@@ -46,6 +48,10 @@ def test_union_slice_math():
     assert _union_slice([slice(0, 8)] * 4, 8) == slice(0, 8)
     # open-ended slices normalize against the dim size
     assert _union_slice([slice(None, None)], 8) == slice(0, 8)
+    # duplicated spans: devices along 'model'/'seq' hold the same rows
+    assert _union_slice(
+        [slice(0, 2), slice(0, 2), slice(2, 4), slice(2, 4)], 8
+    ) == slice(0, 4)
     with pytest.raises(ValueError):
         _union_slice([slice(0, 2), slice(4, 6)], 8)  # gap → not one block
 
