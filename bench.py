@@ -55,6 +55,13 @@ try:
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 except Exception:
     pass
+# Likewise honor JAX_PLATFORMS=cpu (CI/off-TPU runs of the bench; the
+# driver sets nothing and gets the default accelerator backend).
+if os.environ.get("JAX_PLATFORMS", "").strip().lower().startswith("cpu"):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 import numpy as np
 
