@@ -291,11 +291,13 @@ def main() -> None:
         t0 = time.perf_counter()
         run_bucketed(0)  # compile + warm
         _note(f"  compile+warm {time.perf_counter() - t0:.1f}s")
-        # each bucketed run is <0.5 s wall; 4 iters x best-of-2 tames the
-        # 28-30x run-to-run spread seen at 2 iters on the shared tunnel
-        iters = 4 if on_tpu else 1
+        # each bucketed run is <0.5 s wall; 6 iters x best-of-3 tames the
+        # 28-30x run-to-run spread seen at fewer iters on the shared
+        # tunnel (the per-run cost is small enough that the extra trials
+        # are ~6 s total)
+        iters = 6 if on_tpu else 1
         wall = None
-        for _ in range(2 if on_tpu else 1):
+        for _ in range(3 if on_tpu else 1):
             t0 = time.perf_counter()
             for i in range(iters):
                 run_bucketed(i + 1)

@@ -65,6 +65,7 @@ def sample(
     mask: Optional[jnp.ndarray] = None,
     latent_scale: float = 1.0,
     save_intermediate: bool = False,
+    cfg_folded: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the reverse diffusion chain.
 
@@ -84,6 +85,11 @@ def sample(
         (B, S, E) conditioning; uncond may be None when CFG is off.
     init_samples, mask :
         Masked-editing inputs; mask is 1 where the region must be KEPT.
+    cfg_folded : bool
+        The denoise_fn implements the CFG shared-prefix fold: it takes
+        the UN-duplicated (B, ...) latent and returns (2B, ...)
+        predictions itself (uncond first). The sampler then skips its own
+        batch doubling. Only meaningful when CFG is on.
 
     Returns
     -------
@@ -145,7 +151,12 @@ def sample(
             lat = carry
             t, t_next, step_rng = xs
 
-        model_in = jnp.concatenate([lat, lat], axis=0) if cfg.do_cfg else lat
+        fold = cfg_folded and cfg.do_cfg
+        model_in = (
+            jnp.concatenate([lat, lat], axis=0)
+            if cfg.do_cfg and not fold
+            else lat
+        )
         t_b = jnp.broadcast_to(t, (model_in.shape[0],))
         noise_pred = denoise_fn(model_in, t_b, context)
 

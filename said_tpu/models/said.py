@@ -98,12 +98,15 @@ class SAID(nn.Module):
         kv_caches: Optional[dict] = None,
         emb: Optional[jnp.ndarray] = None,
         seq_len_real=None,
+        cfg_fold: bool = False,
     ) -> jnp.ndarray:
         """Predict noise: (B, T, C), (B,), (B, S, E) → (B, T, C).
 
         ``kv_caches``/``emb`` activate the sampling fast path (see
         ``said_tpu.models.unet1d.build_kv_caches``/``time_embed_table``);
-        ``seq_len_real`` the length-bucketed mode.
+        ``seq_len_real`` the length-bucketed mode; ``cfg_fold`` the CFG
+        shared-prefix fold (un-duplicated latent in, 2B predictions out —
+        see ``UNet1DConditionModel.__call__``).
         """
         return self.denoiser(
             noisy_samples,
@@ -113,6 +116,7 @@ class SAID(nn.Module):
             kv_caches=kv_caches,
             emb=emb,
             seq_len_real=seq_len_real,
+            cfg_fold=cfg_fold,
         )
 
     def get_audio_embedding(
@@ -357,6 +361,12 @@ class SAIDPipeline:
         def denoise(params, rng, latents, kv_caches, emb_table,
                     init_samples, mask, window_real):
             dlen = _denoise_len(window_real) if dynamic else None
+            # CFG shared-prefix fold: the denoiser takes the un-duplicated
+            # latent and doubles the batch at the first cross-attention
+            # (the exact cond/uncond divergence point) — ~10% less work
+            # per step. Per-row mixed-length batches keep the unfolded
+            # path (their masks are per-CFG-row).
+            fold = config.do_cfg and (dlen is None or jnp.ndim(dlen) == 0)
 
             def denoise_fn(x, t, ctx):
                 del ctx  # folded into kv_caches
@@ -369,6 +379,7 @@ class SAIDPipeline:
                     kv_caches=kv_caches,
                     emb=emb_table[t],
                     seq_len_real=dlen,
+                    cfg_fold=fold,
                 )
 
             return sample(
@@ -383,6 +394,7 @@ class SAIDPipeline:
                 mask=mask if use_mask else None,
                 latent_scale=model.latent_scale,
                 save_intermediate=save_intermediate,
+                cfg_folded=fold,
             )
 
         if sp:

@@ -327,6 +327,7 @@ class BasicTransformerBlock(nn.Module):
         kv_cache: Optional[tuple] = None,
         seq_mask=None,
         seq_len_real=None,
+        cfg_expand: bool = False,
     ) -> jnp.ndarray:
         self_mask = None
         self_impl = self.self_attn_impl
@@ -363,6 +364,15 @@ class BasicTransformerBlock(nn.Module):
             deterministic=deterministic,
             lengths=self_lengths,
         )
+        if cfg_expand:
+            # CFG shared-prefix fold (see UNet1DConditionModel.__call__):
+            # everything up to and including the self-attention is
+            # identical for the cond and uncond branches (they differ only
+            # in cross-attention context), so the caller ran it once at
+            # batch B; duplicate here — rows [0:B] pair with the uncond
+            # half of the K/V cache, [B:2B] with the cond half, exactly
+            # the layout the unfolded path produces.
+            x = jnp.concatenate([x, x], axis=0)
 
         band = None
         mask = None
@@ -433,6 +443,7 @@ class SpatialTransformer(nn.Module):
         kv_cache: Optional[list] = None,
         seq_mask=None,
         seq_len_real=None,
+        cfg_expand: bool = False,
     ) -> jnp.ndarray:
         x_in = x
         h = GroupNorm32(
@@ -455,6 +466,7 @@ class SpatialTransformer(nn.Module):
                 kv_cache=None if kv_cache is None else kv_cache[d],
                 seq_mask=seq_mask,
                 seq_len_real=seq_len_real,
+                cfg_expand=cfg_expand and d == 0,
             )
         h = nn.Conv(
             x.shape[-1],
@@ -463,6 +475,8 @@ class SpatialTransformer(nn.Module):
             kernel_init=nn.initializers.zeros,
             name="proj_out",
         )(h)
+        if cfg_expand:
+            x_in = jnp.concatenate([x_in, x_in], axis=0)
         return h + x_in
 
 
@@ -500,6 +514,7 @@ class UNet1DConditionModel(nn.Module):
         kv_caches: Optional[dict] = None,
         emb: Optional[jnp.ndarray] = None,
         seq_len_real=None,
+        cfg_fold: bool = False,
     ) -> jnp.ndarray:
         """Denoise. sample (B, T, C_in); timesteps () or (B,);
         context (B, S, cross_attention_dim). Returns (B, T, C_out).
@@ -513,7 +528,30 @@ class UNet1DConditionModel(nn.Module):
         many of the T frames are real; masked norms/attention + pre-conv
         pad zeroing make the real frames EXACTLY equal an unpadded run,
         so one compiled program serves every length up to the bucket.
+
+        CFG shared-prefix fold (``cfg_fold=True``): the sampler passes the
+        UN-duplicated latent (B, T, C) while ``kv_caches`` hold the
+        CFG-doubled context ([0:B] uncond, [B:2B] cond, the order the
+        reference concatenates at ``said/model/diffusion.py:388-400``).
+        The two CFG branches see the identical latent and differ only in
+        cross-attention context, so the in-conv, first ResBlock, and first
+        self-attention run ONCE at batch B; the batch doubles exactly at
+        the first cross-attention. Mathematically identical to the
+        unfolded path (per-row ops only), ~10% less work per step.
+        Returns (2B, T, C_out). Requires the kv-cache fast path,
+        deterministic mode, and (if bucketed) a scalar ``seq_len_real``.
         """
+        if cfg_fold:
+            if kv_caches is None or not deterministic or self.remat:
+                raise ValueError(
+                    "cfg_fold requires the kv-cache sampling fast path "
+                    "(deterministic, no remat)"
+                )
+            if seq_len_real is not None and jnp.ndim(seq_len_real) != 0:
+                raise ValueError(
+                    "cfg_fold supports only scalar seq_len_real (per-row "
+                    "lengths use the unfolded path)"
+                )
         b = sample.shape[0]
         seq_mask = None
         if seq_len_real is not None:
@@ -570,7 +608,8 @@ class UNet1DConditionModel(nn.Module):
                 mc, self.dropout, self.dtype, fused_kernels, name=name
             )(h, emb if _emb is None else _emb, deterministic, seq_mask)
 
-        def st(name, h):
+        def st(name, h, cfg_expand=False):
+            kw = {"cfg_expand": True} if cfg_expand else {}
             return st_cls(**st_kwargs, name=name)(
                 h,
                 context,
@@ -578,6 +617,7 @@ class UNet1DConditionModel(nn.Module):
                 None if kv_caches is None else kv_caches[name],
                 seq_mask,
                 seq_len_real,
+                **kw,
             )
 
         x = sample.astype(self.dtype)
@@ -590,7 +630,12 @@ class UNet1DConditionModel(nn.Module):
         h0 = Conv3(mc, dtype=self.dtype, name="input_conv")(x)
 
         h1 = res("input_res", h0)
-        h1 = st("input_attn", h1)
+        h1 = st("input_attn", h1, cfg_expand=cfg_fold)
+        if cfg_fold:
+            # Batch is 2B from here on; the closures over `emb` (res) pick
+            # up the rebinding, and h0 feeds the outer skip concat.
+            emb = jnp.concatenate([emb, emb], axis=0)
+            h0 = jnp.concatenate([h0, h0], axis=0)
 
         hm = res("middle_res1", h1)
         hm = st("middle_attn", hm)
