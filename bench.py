@@ -247,8 +247,11 @@ def main() -> None:
         _emit(f"rtf_{num_steps}step_b1_60s", secs_long / wall, "x_realtime")
         # Model-FLOPs utilization of the denoise chain (analytic FLOPs
         # over the measured wall; includes the once-per-clip prepare
-        # program, so it slightly UNDERSTATES scan-region MFU). Peak:
-        # v5e bf16.
+        # program, so it slightly UNDERSTATES scan-region MFU). Counts
+        # the unfolded CFG algorithm's FLOPs — effective MFU; the CFG
+        # shared-prefix fold means the EXECUTED FLOPs are ~10% less, so
+        # this is throughput-vs-naive-algorithm, not pure MXU occupancy.
+        # Peak: v5e bf16.
         t_frames = int(secs_long * 60)
         mfu = (
             _unet_step_flops(t_frames, batch=2)
