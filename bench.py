@@ -188,7 +188,50 @@ def fast_init(model, seed: int = 0):
     return jax.device_put(host)
 
 
+def _probe_backend(wait_s: float) -> bool:
+    """Check the accelerator backend is reachable WITHOUT touching it
+    in-process. When the axon tunnel is down, any in-process jax call
+    that reaches the device hangs forever — a crash here would end the
+    bench with ZERO output lines (the round-2 failure mode). Probing in
+    a killable subprocess keeps this process able to emit an explicit
+    diagnostic JSON line instead. Retries until ``wait_s`` elapses
+    (outages are usually transient)."""
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower().startswith("cpu"):
+        return True
+    deadline = time.perf_counter() + wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))"],
+                capture_output=True, timeout=120,
+            )
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            if attempt > 1:
+                _note(f"backend probe recovered on attempt {attempt}")
+            return True
+        remaining = deadline - time.perf_counter()
+        _note(f"backend probe {attempt} failed; {remaining:.0f}s left")
+        if remaining <= 0:
+            return False
+        time.sleep(min(30.0, max(1.0, remaining)))
+
+
 def main() -> None:
+    if not _probe_backend(float(os.environ.get("SAID_BENCH_INIT_WAIT_S", "600"))):
+        # Self-describing artifact even in a total outage: one parseable
+        # line saying WHY there are no numbers, instead of a bare crash.
+        _skip("tpu_backend", "error: accelerator backend unreachable (tunnel down)")
+        return
+
     from said_tpu.cli._common import build_said_model
     from said_tpu.models.said import SAIDPipeline, process_audio
 
