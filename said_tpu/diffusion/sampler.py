@@ -53,66 +53,39 @@ class SamplerConfig:
         return self.guidance_scale > 1.0
 
 
-def sample(
+def num_used_steps(config: SamplerConfig) -> int:
+    """Length of the denoise chain after the strength cut (host-static)."""
+    n = config.num_inference_steps
+    return min(int(n * config.strength), n)
+
+
+def prepare_chain(
     schedule: DiffusionSchedule,
-    denoise_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    config: SamplerConfig,
     rng: jax.Array,
     latents: jnp.ndarray,
-    audio_embedding: jnp.ndarray,
-    uncond_embedding: Optional[jnp.ndarray],
-    config: SamplerConfig,
-    init_samples: Optional[jnp.ndarray] = None,
-    mask: Optional[jnp.ndarray] = None,
-    latent_scale: float = 1.0,
-    save_intermediate: bool = False,
-    cfg_folded: bool = False,
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Run the reverse diffusion chain.
+    init_samples: Optional[jnp.ndarray],
+    latent_scale: float,
+):
+    """Everything before the scan: latent scaling, editing-path noising,
+    timestep tables, per-step rngs, and the DPM++ coefficient tables.
 
-    Parameters
-    ----------
-    denoise_fn : callable
-        ``(x (B', T, C), t (B',), context (B', S, E)) -> eps (B', T, C)``
-        where B' is 2B under CFG. Typically a bound flax apply.
-    rng : jax.Array
-        Consumed for: initial latents noising (editing path) and the
-        per-step eta noise.
-    latents : jnp.ndarray
-        (B, T, C) initial latents — standard normal when sampling from
-        scratch, or ``encode(init_samples)`` when editing. The caller
-        draws them so noise can be injected explicitly in parity tests.
-    audio_embedding / uncond_embedding : jnp.ndarray
-        (B, S, E) conditioning; uncond may be None when CFG is off.
-    init_samples, mask :
-        Masked-editing inputs; mask is 1 where the region must be KEPT.
-    cfg_folded : bool
-        The denoise_fn implements the CFG shared-prefix fold: it takes
-        the UN-duplicated (B, ...) latent and returns (2B, ...)
-        predictions itself (uncond first). The sampler then skips its own
-        batch doubling. Only meaningful when CFG is on.
-
-    Returns
-    -------
-    (result, intermediates)
-        result (B, T, C) clipped to [0, 1]; intermediates (K, B, T, C)
-        when ``save_intermediate`` else None.
+    Returns ``(carry0, xs, init_latents, noise)`` such that
+    ``lax.scan(make_step(...), carry0, xs)`` runs the chain. Exposed
+    (not just an internal of :func:`sample`) so the pipeline's chunked
+    long-clip path can scan the SAME xs in host-sliced segments —
+    bit-identical to one scan by construction, because every traced op
+    and every rng split happens here exactly once either way.
     """
     cfg = config
     dpm = cfg.solver == "dpmpp_2m"
-    if cfg.solver not in ("ddim", "dpmpp_2m"):
-        raise ValueError(f"unknown solver: {cfg.solver!r}")
-    if dpm and cfg.eta > 0:
-        raise ValueError(
-            "dpmpp_2m is a deterministic (ODE) solver; eta > 0 is DDIM-only"
-        )
     n = cfg.num_inference_steps
     ts_all = inference_timesteps(schedule.num_train_timesteps, n)
 
     latents = latents * (latent_scale * schedule.init_noise_sigma)
     init_latents = latents
 
-    init_timestep = min(int(n * cfg.strength), n)
-    t_start = n - init_timestep
+    t_start = n - num_used_steps(cfg)
     ts_used = ts_all[t_start:]
     k = len(ts_used)
     # Timestep the *next* iteration will denoise at (for mask re-noising);
@@ -127,21 +100,35 @@ def sample(
         noise = jax.random.normal(init_rng, latents.shape, latents.dtype)
         latents = schedule.add_noise(latents, noise, t0)
 
-    if audio_embedding is None:
-        # Conditioning folded into the caller's denoise_fn (pre-gathered
-        # K/V caches); no context tensor flows through the scan.
-        context = None
-    elif cfg.do_cfg:
-        if uncond_embedding is None:
-            raise ValueError("CFG requires an unconditional embedding")
-        context = jnp.concatenate([uncond_embedding, audio_embedding], axis=0)
-    else:
-        context = audio_embedding
-
-    b = latents.shape[0]
-    use_mask = init_samples is not None and mask is not None
-
     tables = dpmpp_2m_tables(schedule, ts_used, n) if dpm else None
+
+    step_rngs = jax.random.split(rng, k)
+    xs = (jnp.asarray(ts_used), jnp.asarray(ts_next), step_rngs)
+    if dpm:
+        xs = xs + (tables["c_x"], tables["c_d0"], tables["c_d1"], tables["first"])
+        carry0 = (latents, jnp.zeros_like(latents))
+    else:
+        carry0 = latents
+    return carry0, xs, init_latents, noise
+
+
+def make_step(
+    schedule: DiffusionSchedule,
+    denoise_fn: Callable,
+    config: SamplerConfig,
+    context: Optional[jnp.ndarray],
+    init_latents: Optional[jnp.ndarray],
+    noise: Optional[jnp.ndarray],
+    mask: Optional[jnp.ndarray],
+    use_mask: bool,
+    save_intermediate: bool,
+    cfg_folded: bool,
+) -> Callable:
+    """Build the per-step scan body (shared by :func:`sample` and the
+    pipeline's chunked path; see :func:`prepare_chain`)."""
+    cfg = config
+    dpm = cfg.solver == "dpmpp_2m"
+    n = cfg.num_inference_steps
 
     def step(carry, xs):
         if dpm:
@@ -196,16 +183,87 @@ def sample(
         new_carry = (new_lat, x0) if dpm else new_lat
         return new_carry, out
 
-    step_rngs = jax.random.split(rng, k)
-    xs = (jnp.asarray(ts_used), jnp.asarray(ts_next), step_rngs)
-    if dpm:
-        xs = xs + (tables["c_x"], tables["c_d0"], tables["c_d1"], tables["first"])
-        carry0 = (latents, jnp.zeros_like(latents))
-    else:
-        carry0 = latents
-    final, interms = jax.lax.scan(step, carry0, xs, unroll=cfg.unroll)
-    if dpm:
-        final = final[0]
+    return step
 
-    result = jnp.clip(final / latent_scale, 0.0, 1.0)
+
+def finalize_chain(carry, config: SamplerConfig, latent_scale: float):
+    """Post-scan epilogue: unwrap the DPM carry, unscale, clip."""
+    final = carry[0] if config.solver == "dpmpp_2m" else carry
+    return jnp.clip(final / latent_scale, 0.0, 1.0)
+
+
+def sample(
+    schedule: DiffusionSchedule,
+    denoise_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    rng: jax.Array,
+    latents: jnp.ndarray,
+    audio_embedding: jnp.ndarray,
+    uncond_embedding: Optional[jnp.ndarray],
+    config: SamplerConfig,
+    init_samples: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    latent_scale: float = 1.0,
+    save_intermediate: bool = False,
+    cfg_folded: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Run the reverse diffusion chain.
+
+    Parameters
+    ----------
+    denoise_fn : callable
+        ``(x (B', T, C), t (B',), context (B', S, E)) -> eps (B', T, C)``
+        where B' is 2B under CFG. Typically a bound flax apply.
+    rng : jax.Array
+        Consumed for: initial latents noising (editing path) and the
+        per-step eta noise.
+    latents : jnp.ndarray
+        (B, T, C) initial latents — standard normal when sampling from
+        scratch, or ``encode(init_samples)`` when editing. The caller
+        draws them so noise can be injected explicitly in parity tests.
+    audio_embedding / uncond_embedding : jnp.ndarray
+        (B, S, E) conditioning; uncond may be None when CFG is off.
+    init_samples, mask :
+        Masked-editing inputs; mask is 1 where the region must be KEPT.
+    cfg_folded : bool
+        The denoise_fn implements the CFG shared-prefix fold: it takes
+        the UN-duplicated (B, ...) latent and returns (2B, ...)
+        predictions itself (uncond first). The sampler then skips its own
+        batch doubling. Only meaningful when CFG is on.
+
+    Returns
+    -------
+    (result, intermediates)
+        result (B, T, C) clipped to [0, 1]; intermediates (K, B, T, C)
+        when ``save_intermediate`` else None.
+    """
+    cfg = config
+    if cfg.solver not in ("ddim", "dpmpp_2m"):
+        raise ValueError(f"unknown solver: {cfg.solver!r}")
+    if cfg.solver == "dpmpp_2m" and cfg.eta > 0:
+        raise ValueError(
+            "dpmpp_2m is a deterministic (ODE) solver; eta > 0 is DDIM-only"
+        )
+
+    carry0, xs, init_latents, noise = prepare_chain(
+        schedule, cfg, rng, latents, init_samples, latent_scale
+    )
+
+    if audio_embedding is None:
+        # Conditioning folded into the caller's denoise_fn (pre-gathered
+        # K/V caches); no context tensor flows through the scan.
+        context = None
+    elif cfg.do_cfg:
+        if uncond_embedding is None:
+            raise ValueError("CFG requires an unconditional embedding")
+        context = jnp.concatenate([uncond_embedding, audio_embedding], axis=0)
+    else:
+        context = audio_embedding
+
+    use_mask = init_samples is not None and mask is not None
+    step = make_step(
+        schedule, denoise_fn, cfg, context, init_latents, noise, mask,
+        use_mask, save_intermediate, cfg_folded,
+    )
+    final, interms = jax.lax.scan(step, carry0, xs, unroll=cfg.unroll)
+    result = finalize_chain(final, cfg, latent_scale)
     return result, interms

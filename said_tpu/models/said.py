@@ -24,7 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from said_tpu.diffusion.sampler import SamplerConfig, sample
+from said_tpu.diffusion.sampler import (
+    SamplerConfig,
+    finalize_chain,
+    make_step,
+    num_used_steps,
+    prepare_chain,
+    sample,
+)
 from said_tpu.diffusion.schedule import DiffusionSchedule
 from said_tpu.models.unet1d import UNet1DConditionModel
 from said_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
@@ -228,6 +235,38 @@ def _shard_seq_tree(tree, mesh, t_frames: int):
     return jax.tree.map(place, tree)
 
 
+# One denoise dispatch is kept under ~10 s of device time: a single XLA
+# execution lasting minutes trips the TPU worker's liveness machinery
+# (reproduced deterministically: T=21600 × 1000 steps as ONE dispatch —
+# ~87 s of device time — crashes the worker every time, while the same
+# shape at 100 steps runs fine). Attention dominates long clips, so
+# dispatch "work" is modeled as cfg_batch·T²·steps; the budget equals
+# the verified-good 100-step dispatch at T=21600 (~8.7 s on v5e).
+_CHUNK_WORK_BUDGET = 2 * 21600 * 21600 * 100
+
+
+def _auto_denoise_chunk(
+    batch: int, window: int, steps: int, do_cfg: bool
+) -> int:
+    """Steps per denoise dispatch (0 = whole chain in one dispatch).
+
+    Splits the chain into equal host-dispatched segments of the SAME
+    compiled scan program whenever the estimated single-dispatch work
+    exceeds ``_CHUNK_WORK_BUDGET``; prefers a divisor of the step count
+    (a remainder-sized segment would be a second compile of the same
+    scan body). Numerics are unchanged — see ``prepare_chain``.
+    """
+    work = (2 if do_cfg else 1) * batch * window * window * steps
+    n_chunks = -(-work // _CHUNK_WORK_BUDGET)
+    if n_chunks <= 1:
+        return 0
+    target = max(1, steps // n_chunks)
+    for c in range(target, 0, -1):
+        if steps % c == 0:
+            return c
+    return target
+
+
 class SAIDPipeline:
     """Host-side driver: owns params, schedule, and a jit cache.
 
@@ -253,7 +292,7 @@ class SAIDPipeline:
 
     def _compiled(self, key, config: SamplerConfig, window_size: int,
                   use_init: bool, use_mask: bool, save_intermediate: bool,
-                  dynamic: bool = False, sp: bool = False):
+                  dynamic: bool = False, sp: bool = False, chunk: int = 0):
         """Two device programs per shape key:
 
         1. ``prepare`` — audio encoder, null embedding, the banded K/V
@@ -358,8 +397,7 @@ class SAIDPipeline:
             )
             return _caches_from_emb(params, audio_emb)
 
-        def denoise(params, rng, latents, kv_caches, emb_table,
-                    init_samples, mask, window_real):
+        def _fold_and_fn(params, kv_caches, emb_table, window_real):
             dlen = _denoise_len(window_real) if dynamic else None
             # CFG shared-prefix fold: the denoiser takes the un-duplicated
             # latent and doubles the batch at the first cross-attention
@@ -382,6 +420,13 @@ class SAIDPipeline:
                     cfg_fold=fold,
                 )
 
+            return denoise_fn, fold
+
+        def denoise(params, rng, latents, kv_caches, emb_table,
+                    init_samples, mask, window_real):
+            denoise_fn, fold = _fold_and_fn(
+                params, kv_caches, emb_table, window_real
+            )
             return sample(
                 schedule,
                 denoise_fn,
@@ -397,11 +442,43 @@ class SAIDPipeline:
                 cfg_folded=fold,
             )
 
-        if sp:
-            fns = (jax.jit(prepare_feats), jax.jit(prepare_encode),
-                   jax.jit(denoise))
+        # Chunked long-clip mode (``chunk`` > 0): the chain is split into
+        # host-dispatched segments of ONE compiled scan program so no
+        # single XLA execution runs long enough to trip the TPU worker's
+        # liveness machinery (see ``_CHUNK_WORK_BUDGET``). ``chain_start``
+        # performs every rng split and pre-scan op exactly as ``sample``
+        # would, so chunked == unchunked bit-for-bit
+        # (tests/test_chunked_sampler.py).
+        def chain_start(params, rng, latents, init_samples):
+            return prepare_chain(
+                schedule, config, rng, latents,
+                init_samples if use_init else None, model.latent_scale,
+            )
+
+        def chain_chunk(params, carry, xs_chunk, kv_caches, emb_table,
+                        init_latents, noise, mask, window_real):
+            denoise_fn, fold = _fold_and_fn(
+                params, kv_caches, emb_table, window_real
+            )
+            step = make_step(
+                schedule, denoise_fn, config, None, init_latents, noise,
+                mask if use_mask else None, use_mask, save_intermediate,
+                fold,
+            )
+            return jax.lax.scan(step, carry, xs_chunk, unroll=config.unroll)
+
+        def chain_finish(carry):
+            return finalize_chain(carry, config, model.latent_scale)
+
+        if chunk:
+            dn = (jax.jit(chain_start), jax.jit(chain_chunk),
+                  jax.jit(chain_finish))
         else:
-            fns = (jax.jit(prepare), jax.jit(denoise))
+            dn = (jax.jit(denoise),)
+        if sp:
+            fns = (jax.jit(prepare_feats), jax.jit(prepare_encode)) + dn
+        else:
+            fns = (jax.jit(prepare),) + dn
         self._jit_cache[key] = fns
         return fns
 
@@ -424,6 +501,7 @@ class SAIDPipeline:
         scan_unroll: int = 1,
         waveform_lengths: Optional[np.ndarray] = None,
         seq_mesh=None,
+        denoise_chunk: Optional[int] = None,
     ) -> SAIDInferenceOutput:
         """Full inference (reference ``SAID.inference`` semantics).
 
@@ -463,6 +541,16 @@ class SAIDPipeline:
         the seq-axis size to divide the frame count (pad the clip via
         ``fit_audio_unet(divisor=...)``) and is exclusive with
         ``length_bucket``.
+
+        ``denoise_chunk`` — steps per denoise DISPATCH. ``None`` (auto,
+        the default) splits the chain whenever the estimated device time
+        of a single dispatch would be long enough to trip the TPU
+        worker's liveness machinery (minutes-long single executions
+        crash the worker; see ``_auto_denoise_chunk``); ``0`` forces the
+        whole chain into one dispatch; ``> 0`` forces that segment size.
+        Chunking is bit-identical to the single dispatch — every rng
+        split and traced op is shared (tests/test_chunked_sampler.py) —
+        and composes with bucketing, editing, and ``seq_mesh``.
         """
         waveform_processed = jnp.asarray(waveform_processed)
         if waveform_processed.ndim == 1:
@@ -532,16 +620,25 @@ class SAIDPipeline:
         use_init = init_samples is not None
         use_mask = use_init and mask is not None
         sp = seq_mesh is not None
+        chunk = (
+            _auto_denoise_chunk(
+                b, window_size, num_used_steps(config), config.do_cfg
+            )
+            if denoise_chunk is None
+            else max(0, int(denoise_chunk))
+        )
+        if chunk >= num_used_steps(config):
+            chunk = 0  # one segment == the whole chain; skip the split
         key = (b, t_a, window_size, config, use_init, use_mask,
-               save_intermediate, dynamic, sp)
+               save_intermediate, dynamic, sp, chunk)
         fns = self._compiled(
             key, config, window_size, use_init, use_mask, save_intermediate,
-            dynamic, sp
+            dynamic, sp, chunk
         )
         if sp:
-            feats_fn, encode_fn, denoise_fn = fns
+            feats_fn, encode_fn, *dn_fns = fns
         else:
-            prep_fn, denoise_fn = fns
+            prep_fn, *dn_fns = fns
 
         init_arg = (
             pad_frames(jnp.asarray(init_samples, jnp.float32))
@@ -576,16 +673,38 @@ class SAIDPipeline:
                 jnp.asarray(t_a_real, jnp.int32),
                 window_real_arg,
             )
-        result, interms = denoise_fn(
-            self.params,
-            rng,
-            latents,
-            kv_caches,
-            emb_table,
-            init_arg,
-            mask_arg,
-            window_real_arg,
-        )
+        if chunk:
+            start_fn, chunk_fn, finish_fn = dn_fns
+            carry, xs, init_latents, noise = start_fn(
+                self.params, rng, latents, init_arg
+            )
+            interm_parts = []
+            for i0 in range(0, num_used_steps(config), chunk):
+                xs_c = jax.tree.map(lambda a: a[i0 : i0 + chunk], xs)
+                carry, outs = chunk_fn(
+                    self.params, carry, xs_c, kv_caches, emb_table,
+                    init_latents, noise, mask_arg, window_real_arg,
+                )
+                if save_intermediate:
+                    interm_parts.append(np.asarray(outs))
+            result = finish_fn(carry)
+            interms = (
+                np.concatenate(interm_parts, axis=0)
+                if save_intermediate
+                else None
+            )
+        else:
+            (denoise_fn,) = dn_fns
+            result, interms = denoise_fn(
+                self.params,
+                rng,
+                latents,
+                kv_caches,
+                emb_table,
+                init_arg,
+                mask_arg,
+                window_real_arg,
+            )
         return SAIDInferenceOutput(
             result=np.asarray(result),
             intermediates=np.asarray(interms) if save_intermediate else None,

@@ -112,8 +112,8 @@ def test_pipeline_bucketed_matches_exact():
         results[n_frames] = bucketed
 
     # Both lengths hit the same bucket → exactly ONE dynamic compile.
-    # key layout: (..., dynamic, sp)
-    dynamic_keys = [k for k in pipeline._jit_cache if k[-2] is True]
+    # key layout: (..., dynamic, sp, chunk)
+    dynamic_keys = [k for k in pipeline._jit_cache if k[-3] is True]
     assert len(dynamic_keys) == 1
 
 
