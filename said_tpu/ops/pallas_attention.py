@@ -466,16 +466,132 @@ def _flash_route(q, k, v, num_heads: int, lengths=None):
     )
 
 
+# Backward routing: below this key length the dense-recompute VJP wins
+# (one fused XLA softmax backward, (T, S) fits comfortably); above it the
+# blockwise backward keeps memory O(T·block) instead of O(T²).
+_BWD_DENSE_MAX = 4096
+_BWD_BLOCK_K = 1024
+
+
+def _chunked_attn_bwd(q, k, v, o, g, num_heads: int, lengths=None,
+                      block_k=None):
+    """O(T·block_k) flash-attention backward: recompute scores blockwise.
+
+    Two ``lax.scan`` passes over key blocks: (1) running max / sum-exp
+    for the softmax log-normalizer, (2) dq/dk/dv via the standard flash
+    backward identities (``ds = p ⊙ (dp − δ)`` with
+    ``δ_i = Σ_d g_id·o_id``). Pure jnp — XLA tiles the einsums onto the
+    MXU — and under GSPMD a frame-sharded q keeps EVERY intermediate
+    sharded: per-shard live memory is O((T/n)·block_k), never the
+    O(T²/n) a dense recompute would materialize (dk/dv partials are
+    psum-combined by the partitioner because their einsums contract over
+    the sharded frame axis). This is what makes sequence-parallel
+    TRAINING viable at exactly the clip lengths SP exists for; the
+    reference has no SP at all and materializes dense (T, T) scores even
+    forward (``said/model/ldm/attention.py:101-110``). Matches the dense
+    softmax backward up to f32 reduction order
+    (tests/test_flash_bwd.py).
+    """
+    in_dtype = q.dtype
+    b, t, inner = q.shape
+    s = k.shape[1]
+    h = num_heads
+    d = inner // h
+    scale = d**-0.5
+
+    # read the module global at CALL time (tests tune it), and never pad
+    # the key axis past one lane-aligned block
+    if block_k is None:
+        block_k = _BWD_BLOCK_K
+    block_k = min(block_k, _round_up(s, 128))
+    s_pad = _round_up(s, block_k)
+    nb = s_pad // block_k
+
+    def heads(x, n):
+        return x.astype(jnp.float32).reshape(b, n, h, d)
+
+    qh, gh, oh = heads(q, t), heads(g, t), heads(o, t)
+    kp = jnp.pad(k, ((0, 0), (0, s_pad - s), (0, 0))) if s_pad > s else k
+    vp = jnp.pad(v, ((0, 0), (0, s_pad - s), (0, 0))) if s_pad > s else v
+    # key blocks as the scan axis: (nb, B, block_k, H, D)
+    kh = heads(kp, s_pad).reshape(b, nb, block_k, h, d).transpose(1, 0, 2, 3, 4)
+    vh = heads(vp, s_pad).reshape(b, nb, block_k, h, d).transpose(1, 0, 2, 3, 4)
+
+    lens = None if lengths is None else jnp.asarray(lengths, jnp.int32)
+
+    def block_scores(kb, j):
+        sc = jnp.einsum("bthd,bshd->bhts", qh, kb) * scale
+        col = j * block_k + jnp.arange(block_k)
+        limit = s if lens is None else lens[:, None]
+        valid = col[None, :] < limit  # (B, block_k) or (1, block_k)
+        return jnp.where(valid[:, None, None, :], sc, -jnp.inf)
+
+    def lse_step(carry, xs):
+        m_run, l_run = carry
+        kb, j = xs
+        sc = block_scores(kb, j)
+        m_new = jnp.maximum(m_run, sc.max(axis=-1))
+        l_new = l_run * jnp.exp(m_run - m_new) + jnp.exp(
+            sc - m_new[..., None]
+        ).sum(axis=-1)
+        return (m_new, l_new), None
+
+    m0 = jnp.full((b, h, t), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, t), jnp.float32)
+    (m_fin, l_fin), _ = jax.lax.scan(lse_step, (m0, l0), (kh, jnp.arange(nb)))
+    lse = m_fin + jnp.log(l_fin)  # (B, H, T)
+
+    delta = (gh * oh).sum(axis=-1).transpose(0, 2, 1)  # (B, H, T)
+
+    def grad_step(dq_acc, xs):
+        kb, vb, j = xs
+        sc = block_scores(kb, j)
+        p = jnp.exp(sc - lse[..., None])  # (B, H, T, block_k)
+        dv_j = jnp.einsum("bhts,bthd->bshd", p, gh)
+        dp = jnp.einsum("bthd,bshd->bhts", gh, vb)
+        ds = p * (dp - delta[..., None]) * scale
+        dq_acc = dq_acc + jnp.einsum("bhts,bshd->bthd", ds, kb)
+        dk_j = jnp.einsum("bhts,bthd->bshd", ds, qh)
+        return dq_acc, (dk_j, dv_j)
+
+    dq0 = jnp.zeros((b, t, h, d), jnp.float32)
+    dq, (dk_blocks, dv_blocks) = jax.lax.scan(
+        grad_step, dq0, (kh, vh, jnp.arange(nb))
+    )
+
+    def unblock(blocks):
+        full = blocks.transpose(1, 0, 2, 3, 4).reshape(b, s_pad, inner)
+        return full[:, :s].astype(in_dtype)
+
+    return (
+        dq.reshape(b, t, inner).astype(in_dtype),
+        unblock(dk_blocks),
+        unblock(dv_blocks),
+    )
+
+
+def _attn_bwd_route(q, k, v, o, g, num_heads: int, lengths=None):
+    """Dense-recompute VJP for short keys; blockwise beyond
+    ``_BWD_DENSE_MAX`` (see ``_chunked_attn_bwd``)."""
+    if k.shape[1] > _BWD_DENSE_MAX:
+        return _chunked_attn_bwd(q, k, v, o, g, num_heads, lengths)
+    _, vjp = jax.vjp(
+        lambda a, b_, c: _dense_flat(a, b_, c, num_heads, lengths), q, k, v
+    )
+    return vjp(g)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention_flat(q, k, v, num_heads: int, lengths=None):
     """Flash attention over FLAT (B, T, H·D) projections — the model's
     natural layout. On TPU this is the production path (packed kernel,
     no transposes); elsewhere, and for short sequences, dense.
 
-    Differentiable: the forward runs the routed kernel, the backward
-    recomputes attention densely from the saved q/k/v (no (T, S)
-    residuals stored across the fwd/bwd boundary — pair with
-    ``--gradient_checkpointing`` for long-window training memory).
+    Differentiable with flash-class memory on BOTH sides: no (T, S)
+    residual crosses the fwd/bwd boundary, and beyond ``_BWD_DENSE_MAX``
+    keys the backward recomputes scores blockwise (``_chunked_attn_bwd``)
+    so even the recompute never materializes a (T, S) tensor — pair with
+    ``--gradient_checkpointing`` for long-window training.
 
     Set ``SAID_FLASH_INTERPRET=1`` to force the packed kernel in Pallas
     interpret mode regardless of backend/length — CI uses this to drive
@@ -485,13 +601,13 @@ def flash_attention_flat(q, k, v, num_heads: int, lengths=None):
 
 
 def _flash_flat_fwd(q, k, v, num_heads, lengths):
-    return _flash_route(q, k, v, num_heads, lengths), (q, k, v, lengths)
+    out = _flash_route(q, k, v, num_heads, lengths)
+    return out, (q, k, v, out, lengths)
 
 
 def _flash_flat_bwd(num_heads, res, g):
-    q, k, v, lengths = res
-    _, vjp = jax.vjp(lambda a, b_, c: _dense_flat(a, b_, c, num_heads, lengths), q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, o, lengths = res
+    dq, dk, dv = _attn_bwd_route(q, k, v, o, g, num_heads, lengths)
     ct_len = (
         None
         if lengths is None
@@ -571,27 +687,29 @@ def flash_attention_flat_sp(q, k, v, num_heads: int):
     unchanged.
 
     Differentiable: the forward runs the custom-partitioned kernel
-    (which has no AD rule of its own); the backward recomputes attention
-    densely from the saved q/k/v as plain einsums, which GSPMD
-    partitions from the operands' shardings — q and the cotangent stay
-    frame-sharded, K/V contributions are combined by the collectives XLA
-    inserts. Enables sequence-parallel TRAINING, which the reference
-    cannot express at all (SURVEY §2.9: no SP/CP; ``script/train.py``
-    caps windows instead, ``dataset_voca.py:553-554``).
+    (which has no AD rule of its own); the backward recomputes scores
+    BLOCKWISE from the saved q/k/v/out (``_chunked_attn_bwd`` beyond
+    ``_BWD_DENSE_MAX`` keys) as jnp einsums, which GSPMD partitions from
+    the operands' shardings — q, out, and the cotangent stay
+    frame-sharded, every recomputed score block is (T_shard, block_k),
+    and the dk/dv partials are psum-combined by the collectives XLA
+    inserts. Per-shard backward memory is therefore O((T/n)·block), not
+    O(T²/n) — sequence-parallel TRAINING works at exactly the clip
+    lengths SP exists for. The reference cannot express SP at all
+    (SURVEY §2.9: no SP/CP; ``script/train.py`` caps windows instead,
+    ``dataset_voca.py:553-554``).
     """
     return _sp_flash(num_heads)(q, k, v)
 
 
 def _flash_sp_fwd(q, k, v, num_heads):
-    return _sp_flash(num_heads)(q, k, v), (q, k, v)
+    out = _sp_flash(num_heads)(q, k, v)
+    return out, (q, k, v, out)
 
 
 def _flash_sp_bwd(num_heads, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda a, b_, c: _dense_flat(a, b_, c, num_heads, None), q, k, v
-    )
-    return vjp(g)
+    q, k, v, o = res
+    return _attn_bwd_route(q, k, v, o, g, num_heads, None)
 
 
 flash_attention_flat_sp.defvjp(_flash_sp_fwd, _flash_sp_bwd)
