@@ -191,3 +191,77 @@ def test_onset_golden_fixtures_match_librosa():
             f"clip {i}: {got} vs librosa {golden}"
         )
         np.testing.assert_allclose(got, golden, atol=512 / SR + 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Vendored-oracle parity: the production port vs an INDEPENDENT
+# transcription of librosa 0.10's onset pipeline (tests/oracle_librosa_onset
+# — librosa itself cannot be installed here; the fixture path below stays
+# for environments that have it).
+
+
+def _oracle_signals():
+    sr = 16000
+    rng = np.random.default_rng(42)
+    sigs = {}
+
+    wave = np.zeros(sr * 3, dtype=np.float32)
+    for ct in (0.3, 0.9, 1.5, 2.1, 2.7):
+        i = int(ct * sr)
+        wave[i : i + 300] = rng.uniform(-1, 1, 300).astype(np.float32)
+    sigs["clicks"] = (wave, sr)
+
+    # speech-like: AM noise bursts of varying width/level with pauses
+    wave = np.zeros(sr * 3, dtype=np.float32)
+    for start, dur, amp in ((0.2, 0.4, 0.8), (0.9, 0.25, 0.4),
+                            (1.5, 0.6, 0.9), (2.4, 0.3, 0.6)):
+        i, n = int(start * sr), int(dur * sr)
+        burst = rng.standard_normal(n).astype(np.float32)
+        ramp = np.minimum(1.0, np.arange(n) / (0.01 * sr)).astype(np.float32)
+        wave[i : i + n] = amp * burst * ramp
+    sigs["am_noise"] = (wave, sr)
+
+    # amplitude-stepped tone (soft onsets, borderline peaks)
+    t = np.arange(sr * 2) / sr
+    tone = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    gain = np.ones_like(tone) * 0.05
+    for st, g in ((0.5, 0.3), (1.0, 0.7), (1.5, 1.0)):
+        gain[int(st * sr) :] = g
+    sigs["stepped_tone"] = (tone * gain, sr)
+
+    sigs["silence"] = (np.zeros(sr, dtype=np.float32), sr)
+
+    # dc-offset quiet hum: exercises the min-shift before normalization
+    hum = (0.02 * np.sin(2 * np.pi * 50 * t) + 0.01).astype(np.float32)
+    hum[int(1.2 * sr) : int(1.2 * sr) + 800] += rng.uniform(
+        -0.5, 0.5, 800
+    ).astype(np.float32)
+    sigs["hum_with_pop"] = (hum, sr)
+    return sigs
+
+
+@pytest.mark.parametrize("name", list(_oracle_signals()))
+def test_onset_times_match_vendored_librosa_oracle(name):
+    """Onset TIMES from the production port must equal the independent
+    librosa-algorithm transcription exactly (same frames, same seconds)."""
+    from oracle_librosa_onset import oracle_onset_detect_time
+
+    wave, sr = _oracle_signals()[name]
+    got = compute_audio_beat_time(wave, sr)
+    want = oracle_onset_detect_time(wave, sr)
+    np.testing.assert_array_equal(got, want, err_msg=name)
+
+
+@pytest.mark.parametrize("name", ["clicks", "am_noise", "stepped_tone"])
+def test_onset_envelope_matches_vendored_oracle(name):
+    """The onset-strength envelopes agree to float rounding (the port
+    runs f32-leaning numpy; the oracle is all-f64)."""
+    from oracle_librosa_onset import oracle_onset_strength
+
+    from said_tpu.utils.audio import onset_strength
+
+    wave, sr = _oracle_signals()[name]
+    env, hop = onset_strength(wave, sr)
+    want = oracle_onset_strength(wave, sr, hop=hop)
+    assert env.shape == want.shape
+    np.testing.assert_allclose(env, want, atol=1e-4, rtol=1e-4, err_msg=name)

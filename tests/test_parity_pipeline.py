@@ -89,8 +89,16 @@ def _reference_inference_torch(
         return np.clip(lat.numpy(), 0, 1), window
 
 
-@pytest.mark.parametrize("length_bucket", [0, 32])
-def test_full_inference_parity(reference_on_path, length_bucket):
+def run_parity(length_bucket: int = 0, num_steps: int = 10,
+               guidance: float = 2.0) -> float:
+    """Shared-weights end-to-end parity: coefficient MAE of our jitted
+    pipeline vs the reference's own torch modules driven through the
+    reference inference algorithm. Requires the reference package to be
+    importable (the ``reference_on_path`` fixture in tests;
+    ``tools/parity_probe.py`` sets it up for the driver bench). Returns
+    the MAE so the bench can emit it as driver-visible evidence for the
+    BASELINE.json north-star (MAE < 1e-3 vs reference outputs,
+    ``/root/reference/script/inference.py:151-214``)."""
     from said.model.unet_1d_condition import UNet1DConditionModel as TorchUNet
     from said.model.wav2vec2 import ModifiedWav2Vec2Model
 
@@ -140,7 +148,6 @@ def test_full_inference_parity(reference_on_path, length_bucket):
     wave = process_audio(rng.standard_normal((1, int(16000 * secs))).astype(np.float32))
     window = int(wave.shape[1] / 16000 * 60)
     latents0 = rng.standard_normal((1, window, 32)).astype(np.float32)
-    num_steps, guidance = 10, 2.0
 
     want, window_ref = _reference_inference_torch(
         torch_unet, torch_w2v2, null_emb, wave, latents0, num_steps, guidance
@@ -157,5 +164,10 @@ def test_full_inference_parity(reference_on_path, length_bucket):
     )
     got = out.result[:, :window_ref]
 
-    mae = float(np.abs(got - want[:, :window_ref]).mean())
+    return float(np.abs(got - want[:, :window_ref]).mean())
+
+
+@pytest.mark.parametrize("length_bucket", [0, 32])
+def test_full_inference_parity(reference_on_path, length_bucket):
+    mae = run_parity(length_bucket=length_bucket)
     assert mae < 1e-4, f"coefficient MAE {mae} (north-star threshold 1e-3)"
