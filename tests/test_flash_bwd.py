@@ -164,3 +164,81 @@ def test_sp_chunked_bwd_on_mesh(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(got_i), np.asarray(want_i), atol=3e-5, rtol=1e-4
         )
+
+
+def test_train_step_jaxpr_at_6min_scale_has_no_dense_scores(monkeypatch):
+    """Trace (shape-level, nothing executes) a FULL training step at the
+    6-minute-clip window (T=21600) with the flash/SP attention impls and
+    assert no intermediate anywhere in the jaxpr — forward, backward,
+    optimizer — reaches dense-score size. This is the memory property
+    that makes sequence-parallel training viable at the clip lengths SP
+    exists for; the reference materializes (T, T) even forward
+    (said/model/ldm/attention.py:101-110)."""
+    monkeypatch.setenv("SAID_FLASH_INTERPRET", "1")  # route = packed kernel
+    from said_tpu.diffusion.schedule import DiffusionSchedule
+    from said_tpu.models.said import SAID
+    from said_tpu.models.wav2vec2 import Wav2Vec2Config
+    from said_tpu.train.said_train import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    small = Wav2Vec2Config(
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        conv_bias=False, hidden_size=24, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=48,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        output_hidden_size=24,
+    )
+    model = SAID(
+        audio_config=small,
+        self_attn_impl="flash_sp",
+        encoder_attn_impl="flash_sp",
+    )
+    t_frames = 21600
+    wave_len = (16000 * t_frames) // 60
+
+    def shaped(shape, dtype=jnp.float32):
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+    schedule = DiffusionSchedule.create(model.diffusion_steps)
+    config = TrainConfig(encoder_train_mode=False)
+
+    params = jax.eval_shape(
+        lambda r: model.init(
+            {"params": r},
+            jnp.zeros((1, 12, 32)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 12, 24)),
+        )["params"],
+        jax.random.PRNGKey(0),
+    )
+    # the audio-encoder params too (init merges both in the CLI helper)
+    enc = jax.eval_shape(
+        lambda r: model.init(
+            {"params": r}, jnp.zeros((1, 3200)), 12,
+            method=SAID.get_audio_embedding,
+        )["params"],
+        jax.random.PRNGKey(0),
+    )
+    params = {**dict(enc), **dict(params)}
+
+    state_shape = jax.eval_shape(lambda p: create_train_state(config, p), params)
+    batch = {
+        "waveform": shaped((1, wave_len)),
+        "coeffs": shaped((1, t_frames, 32)),
+        "cond": shaped((1,), jnp.bool_),
+    }
+    step = make_train_step(model, schedule, config)
+    jaxpr = jax.make_jaxpr(step)(
+        state_shape, batch, jax.ShapeDtypeStruct((2,), jnp.uint32)
+    )
+    biggest = _max_eqn_elems(jaxpr)
+
+    heads = 2
+    dense_scores = heads * t_frames * t_frames  # ~9.3e8 elements
+    block_bound = heads * t_frames * max(pa._BWD_BLOCK_K, 2048) * 2
+    assert biggest < dense_scores // 4, (
+        f"train step materializes a {biggest}-element tensor at T={t_frames}"
+    )
+    assert biggest <= block_bound, (biggest, block_bound)
