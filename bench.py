@@ -29,6 +29,8 @@ mid-measurement.
                          own torch modules (shared random weights +
                          injected noise) — driver-visible evidence for
                          the blocked real-weights MAE north-star
+  rtf_dpmpp25step_b1_360s  fast serving of the 6-minute clip (25-step
+                         DPM++ at T=21600, ~2 s of device time)
   rtf_1000step_b1_360s   6-minute clip as ONE sequence (T=21600) — the
                          long-clip regime the reference cannot batch
                          (attention ~90% of the step at its MXU ceiling);
@@ -526,6 +528,17 @@ def main() -> None:
                      solver="dpmpp_2m")
         _emit("rtf_dpmpp25step_b1_60s", secs / wall, "x_realtime")
 
+    def m_dpmpp_6m():
+        # Fast serving of the 6-MINUTE clip: 25-step DPM++ at T=21600.
+        # Shares the prepare compile with the 1000-step 360 s metric
+        # (prepare is keyed on clip geometry, not solver/steps); the
+        # 25-step chain is ~2 s of device time, one dispatch.
+        secs = 360.0 if on_tpu else 2.0
+        steps = 25 if on_tpu else 5
+        wall = timed(1, secs, 2 if on_tpu else 1, steps=steps,
+                     solver="dpmpp_2m")
+        _emit("rtf_dpmpp25step_b1_360s", secs / wall, "x_realtime")
+
     def m_parity():
         # Driver-visible north-star evidence: the real-weights MAE
         # north-star (BASELINE.json; reference script/inference.py:151-214)
@@ -563,6 +576,7 @@ def main() -> None:
         ("rtf_dpmpp25step_b1_60s", m_dpmpp, False),
         ("sp_flash_on_chip_maxerr", m_sp_on_chip, False),
         ("parity_mae_vs_torch", m_parity, True),
+        ("rtf_dpmpp25step_b1_360s", m_dpmpp_6m, False),
         ("rtf_1000step_b1_360s", m_long6m, True),
     ]
 

@@ -80,6 +80,13 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
         help="pad to multiples of this many frames so one compiled program "
              "serves all clip lengths (0 = exact-shape compile per length)",
     )
+    parser.add_argument(
+        "--denoise_chunk", type=int, default=-1,
+        help="denoise steps per device dispatch; -1 auto-splits long "
+             "clips so no single dispatch runs long enough to trip the "
+             "TPU worker's liveness machinery (bit-identical numerics), "
+             "0 forces one dispatch, >0 forces that segment size",
+    )
 
 
 def main(argv=None) -> None:
@@ -153,6 +160,7 @@ def main(argv=None) -> None:
         save_intermediate=args.save_intermediate,
         length_bucket=args.length_bucket,
         seq_mesh=seq_mesh,
+        denoise_chunk=None if args.denoise_chunk < 0 else args.denoise_chunk,
     )
 
     if args.profile_dir:

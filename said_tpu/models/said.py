@@ -290,21 +290,28 @@ class SAIDPipeline:
         self.sampling_rate = SAMPLING_RATE
         self._jit_cache: Dict = {}
 
-    def _compiled(self, key, config: SamplerConfig, window_size: int,
-                  use_init: bool, use_mask: bool, save_intermediate: bool,
-                  dynamic: bool = False, sp: bool = False, chunk: int = 0):
-        """Two device programs per shape key:
+    def _denoise_len_fn(self, dynamic: bool, do_cfg: bool):
+        def _denoise_len(window_real):
+            # Per-row lengths (mixed-length batches) must be tiled for
+            # the CFG-doubled batch.
+            if dynamic and do_cfg and window_real.ndim == 1:
+                return jnp.concatenate([window_real, window_real])
+            return window_real
 
-        1. ``prepare`` — audio encoder, null embedding, the banded K/V
-           gathers, and the timestep-MLP table (everything loop-invariant).
-        2. ``denoise`` — the 1000-step scan, taking the K/V caches as
-           PROGRAM INPUTS.
+        return _denoise_len
 
-        Split on purpose: when the caches are intermediates of the same
+    def _prepare_compiled(self, do_cfg: bool, window_size: int,
+                          dynamic: bool, sp: bool):
+        """The ``prepare`` device program: audio encoder, null embedding,
+        the banded K/V gathers, and the timestep-MLP table (everything
+        loop-invariant). Compiled SEPARATELY from the denoise scan for
+        two reasons: (1) when the caches are intermediates of one big
         program, XLA assigns them a layout that costs ~2 ms/step extra in
-        the banded attention (measured at T=3600: 7.0 vs 4.8 ms/step);
-        as program inputs they get the canonical layout. The extra
-        dispatch costs one tunnel round-trip, amortized over the chain.
+        the banded attention (measured at T=3600: 7.0 vs 4.8 ms/step) —
+        as program inputs they get the canonical layout; (2) prepare is
+        keyed only on (do_cfg, window, dynamic, sp), so runs that differ
+        in solver/steps/eta (e.g. full-quality DDIM and fast DPM++ over
+        the same clip) share one prepare compile.
 
         ``sp`` (sequence-parallel) splits ``prepare`` once more, around
         the frame-sharding boundary: ``prepare_feats`` (conv stack +
@@ -315,11 +322,11 @@ class SAIDPipeline:
         so arbitrarily long clips never hold an unsharded (T, hidden)
         activation or encoder attention working set on one chip.
         """
+        key = ("prepare", do_cfg, window_size, dynamic, sp)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
         model = self.model
-        schedule = self.schedule
 
         from said_tpu.models.unet1d import (
             UNet1DConditionModel,
@@ -331,17 +338,11 @@ class SAIDPipeline:
         # per head); setup()-bound submodules aren't readable here.
         mc = UNet1DConditionModel.model_channels
         heads = mc // UNet1DConditionModel.num_head_channels
-
-        def _denoise_len(window_real):
-            # Per-row lengths (mixed-length batches) must be tiled for
-            # the CFG-doubled batch.
-            if dynamic and config.do_cfg and window_real.ndim == 1:
-                return jnp.concatenate([window_real, window_real])
-            return window_real
+        _denoise_len = self._denoise_len_fn(dynamic, do_cfg)
 
         def _caches_from_emb(params, audio_emb, seq_len_real=None):
             uncond = None
-            if config.do_cfg:
+            if do_cfg:
                 uncond = model.apply(
                     {"params": params},
                     audio_emb.shape[0],
@@ -350,7 +351,7 @@ class SAIDPipeline:
                 )
             full_context = (
                 jnp.concatenate([uncond, audio_emb], axis=0)
-                if config.do_cfg
+                if do_cfg
                 else audio_emb
             )
             kv_caches = build_kv_caches(
@@ -396,6 +397,32 @@ class SAIDPipeline:
                 {"params": params}, feats, method=SAID.encode_audio_features
             )
             return _caches_from_emb(params, audio_emb)
+
+        if sp:
+            fns = (jax.jit(prepare_feats), jax.jit(prepare_encode))
+        else:
+            fns = (jax.jit(prepare),)
+        self._jit_cache[key] = fns
+        return fns
+
+    def _denoise_compiled(self, config: SamplerConfig, use_init: bool,
+                          use_mask: bool, save_intermediate: bool,
+                          dynamic: bool = False, chunk: int = 0):
+        """The ``denoise`` device program(s): the whole reverse chain as
+        one ``lax.scan`` (``chunk == 0``), or the start/segment/finish
+        trio for chunked long-clip dispatch. Takes the K/V caches as
+        PROGRAM INPUTS (see ``_prepare_compiled`` for why) and is keyed
+        on sampler config + feature flags only — jit itself re-traces per
+        input shape, so one cache entry serves every clip geometry.
+        """
+        key = ("denoise", config, use_init, use_mask, save_intermediate,
+               dynamic, chunk)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        model = self.model
+        schedule = self.schedule
+        _denoise_len = self._denoise_len_fn(dynamic, config.do_cfg)
 
         def _fold_and_fn(params, kv_caches, emb_table, window_real):
             dlen = _denoise_len(window_real) if dynamic else None
@@ -471,14 +498,10 @@ class SAIDPipeline:
             return finalize_chain(carry, config, model.latent_scale)
 
         if chunk:
-            dn = (jax.jit(chain_start), jax.jit(chain_chunk),
-                  jax.jit(chain_finish))
+            fns = (jax.jit(chain_start), jax.jit(chain_chunk),
+                   jax.jit(chain_finish))
         else:
-            dn = (jax.jit(denoise),)
-        if sp:
-            fns = (jax.jit(prepare_feats), jax.jit(prepare_encode)) + dn
-        else:
-            fns = (jax.jit(prepare),) + dn
+            fns = (jax.jit(denoise),)
         self._jit_cache[key] = fns
         return fns
 
@@ -629,16 +652,16 @@ class SAIDPipeline:
         )
         if chunk >= num_used_steps(config):
             chunk = 0  # one segment == the whole chain; skip the split
-        key = (b, t_a, window_size, config, use_init, use_mask,
-               save_intermediate, dynamic, sp, chunk)
-        fns = self._compiled(
-            key, config, window_size, use_init, use_mask, save_intermediate,
-            dynamic, sp, chunk
+        prep_fns = self._prepare_compiled(
+            config.do_cfg, window_size, dynamic, sp
+        )
+        dn_fns = self._denoise_compiled(
+            config, use_init, use_mask, save_intermediate, dynamic, chunk
         )
         if sp:
-            feats_fn, encode_fn, *dn_fns = fns
+            feats_fn, encode_fn = prep_fns
         else:
-            prep_fn, *dn_fns = fns
+            (prep_fn,) = prep_fns
 
         init_arg = (
             pad_frames(jnp.asarray(init_samples, jnp.float32))

@@ -111,10 +111,17 @@ def test_pipeline_bucketed_matches_exact():
         )
         results[n_frames] = bucketed
 
-    # Both lengths hit the same bucket → exactly ONE dynamic compile.
-    # key layout: (..., dynamic, sp, chunk)
-    dynamic_keys = [k for k in pipeline._jit_cache if k[-3] is True]
-    assert len(dynamic_keys) == 1
+    # Both lengths hit the same bucket → exactly ONE dynamic prepare
+    # compile and ONE dynamic denoise compile. Key layouts:
+    # ("prepare", do_cfg, window, dynamic, sp) /
+    # ("denoise", config, use_init, use_mask, save_interm, dynamic, chunk)
+    dyn_prep = [
+        k for k in pipeline._jit_cache if k[0] == "prepare" and k[-2] is True
+    ]
+    dyn_dn = [
+        k for k in pipeline._jit_cache if k[0] == "denoise" and k[-2] is True
+    ]
+    assert len(dyn_prep) == 1 and len(dyn_dn) == 1
 
 
 def test_mixed_length_batch_matches_individual_runs():
