@@ -268,6 +268,8 @@ def _run_isolated(name: str, budget_left: float) -> None:
     env = dict(os.environ)
     env["SAID_BENCH_BUDGET_S"] = str(max(60.0, budget_left))
     env["SAID_BENCH_INIT_WAIT_S"] = "120"  # parent just probed OK
+    env["SAID_BENCH_CHILD"] = "1"  # the child must never isolate again
+    env.pop("SAID_BENCH_FORCE_ISOLATE", None)
     timeout = min(budget_left + 120.0, 900.0)
     try:
         proc = subprocess.Popen(
@@ -580,6 +582,8 @@ def main() -> None:
         ("rtf_1000step_b1_360s", m_long6m, True),
     ]
 
+    is_child = bool(os.environ.get("SAID_BENCH_CHILD"))
+    force_isolate = bool(os.environ.get("SAID_BENCH_FORCE_ISOLATE"))
     for name, fn, risky in metrics:
         if only is not None and name not in only:
             continue
@@ -587,7 +591,7 @@ def main() -> None:
             _skip(name, "time_budget")
             continue
         _note(f"metric {name} ...")
-        if risky and only is None and on_tpu:
+        if risky and (on_tpu or force_isolate) and not is_child:
             _run_isolated(name, _BUDGET_S - _elapsed())
             continue
         try:
