@@ -31,6 +31,10 @@ mid-measurement.
                          the blocked real-weights MAE north-star
   rtf_dpmpp25step_b1_360s  fast serving of the 6-minute clip (25-step
                          DPM++ at T=21600, ~2 s of device time)
+  train_steps_per_sec_b1_360s  full-clip fine-tuning at the 6-minute
+                         length on ONE chip (blockwise flash backward —
+                         O(T·block) memory; the reference cannot run
+                         this length even forward)
   rtf_1000step_b1_360s   6-minute clip as ONE sequence (T=21600) — the
                          long-clip regime the reference cannot batch
                          (attention ~90% of the step at its MXU ceiling);
@@ -518,6 +522,52 @@ def main() -> None:
         wall = timed(1, secs, 1)
         _emit("rtf_1000step_b1_360s", secs / wall, "x_realtime")
 
+    def m_train_6m():
+        # Full-clip fine-tuning at the 6-MINUTE length (T=21600, batch 1)
+        # on ONE chip: UNet fwd/bwd with the blockwise flash backward
+        # (O(T·block) memory — a dense-recompute backward would
+        # materialize (T,T) scores), frozen encoder at T=21600 through
+        # the blocked kernels. The reference cannot run this length even
+        # forward (it materializes dense scores,
+        # said/model/ldm/attention.py:101-110) and caps train windows
+        # instead (dataset_voca.py:553-554). ~1.2 s/step of device time
+        # per dispatch — far under the worker's liveness limit.
+        from said_tpu.train.said_train import (
+            TrainConfig,
+            create_train_state,
+            make_train_step,
+        )
+        from said_tpu.diffusion.schedule import DiffusionSchedule
+
+        t_frames = 21600 if on_tpu else 360
+        wave_len = (sr * t_frames) // 60
+        cfg_t = TrainConfig(encoder_train_mode=False)
+        schedule = DiffusionSchedule.create(model.diffusion_steps)
+        state = create_train_state(cfg_t, fast_init(model, seed=0))
+        batch = {
+            "waveform": jax.numpy.asarray(
+                process_audio(
+                    rng.standard_normal((1, wave_len)).astype(np.float32)
+                )
+            ),
+            "coeffs": jax.numpy.asarray(
+                rng.uniform(0, 1, (1, t_frames, 32)).astype(np.float32)
+            ),
+            "cond": jax.numpy.ones((1,), bool),
+        }
+        step_fn = jax.jit(make_train_step(model, schedule, cfg_t))
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+        loss = float(metrics["loss"])  # sync
+        _note(f"  compile+warm {time.perf_counter() - t0:.1f}s loss={loss:.3f}")
+        n = 3 if on_tpu else 1
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(i + 1))
+        float(metrics["loss"])
+        wall = (time.perf_counter() - t0) / n
+        _emit("train_steps_per_sec_b1_360s", 1.0 / wall, "steps/s", baseline=1.0)
+
     def m_dpmpp():
         # DPM-Solver++(2M) at 25 steps on the 60 s clip: the production
         # fast-sampling mode (second-order ODE solver — far fewer steps
@@ -579,6 +629,7 @@ def main() -> None:
         ("sp_flash_on_chip_maxerr", m_sp_on_chip, False),
         ("parity_mae_vs_torch", m_parity, True),
         ("rtf_dpmpp25step_b1_360s", m_dpmpp_6m, False),
+        ("train_steps_per_sec_b1_360s", m_train_6m, False),
         ("rtf_1000step_b1_360s", m_long6m, True),
     ]
 
