@@ -31,6 +31,11 @@ mid-measurement.
                          the blocked real-weights MAE north-star
   rtf_dpmpp25step_b1_360s  fast serving of the 6-minute clip (25-step
                          DPM++ at T=21600, ~2 s of device time)
+  rtf_1000step_streaming_b1_360s  the 6-minute clip served in STREAMING
+                         mode (60 s windows, 6 s pinned overlap via the
+                         inpainting path): constant per-second compute —
+                         the production serving mode for long audio on
+                         one chip
   train_steps_per_sec_b1_360s  full-clip fine-tuning at the 6-minute
                          length on ONE chip (blockwise flash backward —
                          O(T·block) memory; the reference cannot run
@@ -591,6 +596,41 @@ def main() -> None:
                      solver="dpmpp_2m")
         _emit("rtf_dpmpp25step_b1_360s", secs / wall, "x_realtime")
 
+    def m_streaming_6m():
+        # The 6-minute clip served in STREAMING mode: 60 s windows with
+        # 6 s of pinned (inpainted) continuation context. Compute per
+        # clip-second is constant in clip length (each window is a
+        # T=3600 problem), so long clips run at near the 60 s-clip rate
+        # instead of the single-sequence T=21600 rate — the production
+        # answer to long audio on one chip (the single-sequence metric
+        # below documents the exact-semantics floor; SP breaks it with
+        # more chips). Windows are ~3 s dispatches — no liveness risk.
+        secs = 360.0 if on_tpu else 2.0
+        w, o = (3600, 360) if on_tpu else (60, 12)
+        wave = rng.standard_normal((1, int(sr * secs))).astype(np.float32)
+        processed = process_audio(wave)
+
+        def run(seed):
+            return pipeline.inference_streaming(
+                waveform_processed=processed,
+                window_frames=w,
+                overlap_frames=o,
+                num_inference_steps=num_steps,
+                guidance_scale=2.0,
+                rng=jax.random.PRNGKey(seed),
+            )
+
+        t0 = time.perf_counter()
+        run(0)  # compile (1 prepare + 2 denoise programs) + warm
+        _note(f"  compile+warm {time.perf_counter() - t0:.1f}s")
+        best = None
+        for i in range(2 if on_tpu else 1):
+            t0 = time.perf_counter()
+            run(i + 1)
+            wall = time.perf_counter() - t0
+            best = wall if best is None else min(best, wall)
+        _emit("rtf_1000step_streaming_b1_360s", secs / best, "x_realtime")
+
     def m_parity():
         # Driver-visible north-star evidence: the real-weights MAE
         # north-star (BASELINE.json; reference script/inference.py:151-214)
@@ -629,6 +669,7 @@ def main() -> None:
         ("sp_flash_on_chip_maxerr", m_sp_on_chip, False),
         ("parity_mae_vs_torch", m_parity, True),
         ("rtf_dpmpp25step_b1_360s", m_dpmpp_6m, False),
+        ("rtf_1000step_streaming_b1_360s", m_streaming_6m, False),
         ("train_steps_per_sec_b1_360s", m_train_6m, False),
         ("rtf_1000step_b1_360s", m_long6m, True),
     ]

@@ -81,6 +81,19 @@ def add_arguments(parser: argparse.ArgumentParser) -> None:
              "serves all clip lengths (0 = exact-shape compile per length)",
     )
     parser.add_argument(
+        "--streaming_window", type=int, default=0,
+        help="serve the clip as overlapping windows of this many frames "
+             "stitched through the inpainting path (bounded memory and "
+             "constant per-second compute for arbitrarily long audio; "
+             "limits self-attention context to one window). 0 = off; "
+             "must be a multiple of 3",
+    )
+    parser.add_argument(
+        "--streaming_overlap", type=int, default=360,
+        help="frames of continuation context pinned from the previous "
+             "window when --streaming_window is on",
+    )
+    parser.add_argument(
         "--denoise_chunk", type=int, default=-1,
         help="denoise steps per device dispatch; -1 auto-splits long "
              "clips so no single dispatch runs long enough to trip the "
@@ -145,23 +158,51 @@ def main(argv=None) -> None:
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
-    output = pipeline.inference(
-        waveform_processed=waveform_processed,
-        init_samples=init_samples,
-        mask=mask,
-        num_inference_steps=args.num_steps,
-        strength=args.strength,
-        guidance_scale=args.guidance_scale,
-        guidance_rescale=args.guidance_rescale,
-        eta=args.eta,
-        solver=args.solver,
-        fps=args.fps,
-        rng=jax.random.PRNGKey(args.seed),
-        save_intermediate=args.save_intermediate,
-        length_bucket=args.length_bucket,
-        seq_mesh=seq_mesh,
-        denoise_chunk=None if args.denoise_chunk < 0 else args.denoise_chunk,
-    )
+    if args.streaming_window > 0:
+        for bad in (
+            ("--init_sample_path", init_samples),
+            ("--mask_path", mask),
+            ("--save_intermediate", args.save_intermediate or None),
+            ("--length_bucket", args.length_bucket or None),
+            ("--seq_shards", seq_mesh),
+        ):
+            if bad[1] is not None:
+                raise SystemExit(
+                    f"{bad[0]} is not supported with --streaming_window"
+                )
+        if args.strength != 1.0:
+            raise SystemExit("--strength is not supported with --streaming_window")
+        output = pipeline.inference_streaming(
+            waveform_processed=waveform_processed,
+            window_frames=args.streaming_window,
+            overlap_frames=args.streaming_overlap,
+            num_inference_steps=args.num_steps,
+            guidance_scale=args.guidance_scale,
+            guidance_rescale=args.guidance_rescale,
+            eta=args.eta,
+            solver=args.solver,
+            fps=args.fps,
+            rng=jax.random.PRNGKey(args.seed),
+            denoise_chunk=None if args.denoise_chunk < 0 else args.denoise_chunk,
+        )
+    else:
+        output = pipeline.inference(
+            waveform_processed=waveform_processed,
+            init_samples=init_samples,
+            mask=mask,
+            num_inference_steps=args.num_steps,
+            strength=args.strength,
+            guidance_scale=args.guidance_scale,
+            guidance_rescale=args.guidance_rescale,
+            eta=args.eta,
+            solver=args.solver,
+            fps=args.fps,
+            rng=jax.random.PRNGKey(args.seed),
+            save_intermediate=args.save_intermediate,
+            length_bucket=args.length_bucket,
+            seq_mesh=seq_mesh,
+            denoise_chunk=None if args.denoise_chunk < 0 else args.denoise_chunk,
+        )
 
     if args.profile_dir:
         jax.profiler.stop_trace()

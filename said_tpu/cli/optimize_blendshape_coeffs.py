@@ -48,7 +48,12 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--head_idx_path", type=str, default=str(default_data_dir / "FLAME_head_idx.txt")
     )
-    parser.add_argument("--output_dir", type=str, default="../BlendVOCA/blendshape_coeffs")
+    parser.add_argument(
+        "--output_dir",
+        "--blendshapes_coeffs_out_dir",  # the reference's name for it
+        type=str,
+        default="../BlendVOCA/blendshape_coeffs",
+    )
     parser.add_argument("--delta", type=float, default=0.1)
     args = parser.parse_args(argv)
     configure_platform(getattr(args, "device", ""))

@@ -34,16 +34,24 @@ def main(argv=None) -> None:
     parser.add_argument("--templates_dir", type=str, default="../VOCA_Template")
     parser.add_argument(
         "--blendshape_deltas_path",
+        "--blendshape_residuals_path",  # the reference's name for it
         type=str,
         default="../BlendVOCA/blendshape_deltas.pickle",
     )
     parser.add_argument(
         "--head_idx_path", type=str, default=str(default_data_dir / "FLAME_head_idx.txt")
     )
+    # Reference layout (script/preprocess_blendvoca.py:40-48): ONE parent
+    # dir holding templates_head/ and blendshapes_head/. The explicit
+    # two-dir flags below override it.
+    parser.add_argument("--blendshapes_out_dir", type=str, default="")
     parser.add_argument("--neutrals_dir", type=str, default="../BlendVOCA/templates_head")
     parser.add_argument("--blendshapes_dir", type=str, default="../BlendVOCA/blendshapes_head")
     args = parser.parse_args(argv)
     configure_platform(getattr(args, "device", ""))
+    if args.blendshapes_out_dir:
+        args.neutrals_dir = os.path.join(args.blendshapes_out_dir, "templates_head")
+        args.blendshapes_dir = os.path.join(args.blendshapes_out_dir, "blendshapes_head")
 
     head_idx = parse_list(args.head_idx_path, int)
     blendshape_deltas = load_blendshape_deltas(args.blendshape_deltas_path)
@@ -51,7 +59,10 @@ def main(argv=None) -> None:
 
     os.makedirs(args.neutrals_dir, exist_ok=True)
     for pid in person_ids:
-        template = load_mesh(os.path.join(args.templates_dir, f"{pid}.ply"))
+        template_path = os.path.join(args.templates_dir, f"{pid}.ply")
+        if not os.path.exists(template_path) or pid not in blendshape_deltas:
+            continue  # partial checkouts are common; process what exists
+        template = load_mesh(template_path)
         sub = get_submesh(template.vertices, template.faces, head_idx)
 
         save_mesh(

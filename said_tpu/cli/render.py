@@ -24,7 +24,7 @@ from said_tpu.utils.mesh import load_mesh
 from said_tpu.utils.parser import parse_list
 
 
-from said_tpu.cli._common import configure_platform
+from said_tpu.cli._common import configure_platform, str2bool
 
 
 def load_blendshape_setup(neutral_path: str, blendshapes_dir: str, names):
@@ -53,6 +53,15 @@ def main(argv=None) -> None:
     parser.add_argument("--blendshape_coeffs_path", type=str, default="../out.csv")
     parser.add_argument("--target_coeffs_path", type=str, default=None,
                         help="optional GT CSV for a per-vertex error heatmap")
+    # Reference flag pair (script/render.py): the heatmap is gated on
+    # --show_difference and reads --target_diff_blendshape_coeffs_path;
+    # --target_coeffs_path above is this framework's one-flag shorthand.
+    parser.add_argument("--show_difference", type=str2bool, default=False)
+    parser.add_argument("--target_diff_blendshape_coeffs_path", type=str,
+                        default=None)
+    parser.add_argument("--save_images", type=str2bool, default=False,
+                        help="also dump each rendered frame as a PNG")
+    parser.add_argument("--output_images_dir", type=str, default="../render_images")
     parser.add_argument("--blendshape_list_path", type=str,
                         default=str(default_data_dir / "ARKit_blendshapes.txt"))
     parser.add_argument("--output_path", type=str, default="../out.avi")
@@ -73,11 +82,10 @@ def main(argv=None) -> None:
         args.neutral_path, args.blendshapes_dir, names
     )
     coeffs = load_blendshape_coeffs(args.blendshape_coeffs_path)
-    target = (
-        load_blendshape_coeffs(args.target_coeffs_path)
-        if args.target_coeffs_path
-        else None
+    target_path = args.target_coeffs_path or (
+        args.target_diff_blendshape_coeffs_path if args.show_difference else None
     )
+    target = load_blendshape_coeffs(target_path) if target_path else None
     if target is not None:
         n = min(len(coeffs), len(target))
         coeffs, target = coeffs[:n], target[:n]
@@ -90,6 +98,16 @@ def main(argv=None) -> None:
     audio = load_audio(args.audio_path, 16000) if os.path.exists(args.audio_path) else None
     write_mjpeg_avi(args.output_path, frames, args.fps, audio, 16000)
     print(f"wrote {len(frames)} frames → {args.output_path}")
+
+    if args.save_images:
+        from PIL import Image
+
+        os.makedirs(args.output_images_dir, exist_ok=True)
+        for idx, frame in enumerate(frames):
+            Image.fromarray(frame).save(
+                os.path.join(args.output_images_dir, f"{idx}.png")
+            )
+        print(f"wrote {len(frames)} PNGs → {args.output_images_dir}")
 
 
 if __name__ == "__main__":

@@ -111,12 +111,22 @@ def main(argv=None) -> None:
         description="Evaluate the generated blendshape coefficients (TPU-native)"
     )
     parser.add_argument("--audio_dir", type=str, default="../BlendVOCA/audio")
+    # Reference flag names and meanings (script/test_evaluate.py:469-480):
+    # --coeffs_dir is the GENERATED coefficients, --coeffs_real_dir the
+    # ground truth. --eval_dir is this framework's pre-0.4 name for the
+    # generated dir; when given, --coeffs_dir keeps its legacy meaning
+    # here (the real dir) so old command lines behave identically.
     parser.add_argument(
         "--coeffs_dir", type=str, default="../BlendVOCA/blendshape_coeffs"
     )
-    parser.add_argument("--eval_dir", type=str, default="../out")
+    parser.add_argument(
+        "--coeffs_real_dir", type=str, default="../BlendVOCA/blendshape_coeffs"
+    )
+    parser.add_argument("--eval_dir", type=str, default="")
     parser.add_argument("--vae_weights_path", type=str, default="model/vae.pth")
     parser.add_argument("--blendshape_residuals_path", type=str, default="")
+    parser.add_argument("--sampling_rate", type=int, default=16000)
+    parser.add_argument("--fps", type=int, default=60)
     parser.add_argument("--window_step_size", type=int, default=1)
     parser.add_argument("--bc_threshold", type=float, default=0.1)
     parser.add_argument("--wind_num_clusters", type=int, default=5)
@@ -137,16 +147,23 @@ def main(argv=None) -> None:
 
     model, params, batch_stats = load_vae(args.vae_weights_path)
 
+    if args.eval_dir:  # legacy flag pair: --eval_dir gen, --coeffs_dir real
+        generated_dir, real_dir = args.eval_dir, args.coeffs_dir
+    else:  # reference flag pair: --coeffs_dir gen, --coeffs_real_dir real
+        generated_dir, real_dir = args.coeffs_dir, args.coeffs_real_dir
+
     eval_dataset = BlendVOCAEvalDataset(
         audio_dir=args.audio_dir,
-        blendshape_coeffs_dir=args.eval_dir,
+        blendshape_coeffs_dir=generated_dir,
         blendshape_deltas_path=args.blendshape_residuals_path or None,
+        sampling_rate=args.sampling_rate,
         preload=False,
     )
     real_dataset = BlendVOCAEvalDataset(
         audio_dir=args.audio_dir,
-        blendshape_coeffs_dir=args.coeffs_dir,
+        blendshape_coeffs_dir=real_dir,
         blendshape_deltas_path=args.blendshape_residuals_path or None,
+        sampling_rate=args.sampling_rate,
         preload=False,
     )
 
@@ -198,7 +215,7 @@ def main(argv=None) -> None:
             waves.append(np.asarray(item.waveform))
             coeffs_list.append(np.asarray(item.blendshape_coeffs))
         metrics["beat_consistency"] = beat_consistency_score(
-            waves, coeffs_list, 16000, 60, args.bc_threshold
+            waves, coeffs_list, args.sampling_rate, args.fps, args.bc_threshold
         )
 
     if args.vertex_error and args.blendshape_residuals_path:

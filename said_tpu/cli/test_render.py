@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import os
 import pathlib
+import re
 
 from said_tpu.cli.render import load_blendshape_setup
 from said_tpu.data.blendvoca import BLENDSHAPE_CLASSES, PERSON_IDS_TEST, SENTENCE_IDS
@@ -31,7 +32,12 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--audio_dir", type=str, default="../BlendVOCA/audio")
     parser.add_argument("--coeffs_dir", type=str, default="../out")
-    parser.add_argument("--neutrals_dir", type=str, default="../BlendVOCA/templates_head")
+    parser.add_argument(
+        "--neutrals_dir",
+        "--neutral_dir",  # the reference's name for it
+        type=str,
+        default="../BlendVOCA/templates_head",
+    )
     parser.add_argument("--blendshapes_dir", type=str, default="../BlendVOCA/blendshapes_head")
     parser.add_argument("--blendshape_list_path", type=str,
                         default=str(default_data_dir / "ARKit_blendshapes.txt"))
@@ -39,6 +45,10 @@ def main(argv=None) -> None:
     parser.add_argument("--fps", type=int, default=60)
     parser.add_argument("--repeat_index", type=int, default=-1,
                         help="render only sentenceXX-<idx>.csv files (-1 = all)")
+    parser.add_argument("--repeat_regex", type=str, default="(-.+)?",
+                        help="regex the part of the filename between "
+                             "sentenceXX and .csv must fully match "
+                             "(reference script/test_render.py:62-67)")
     args = parser.parse_args(argv)
     configure_platform(getattr(args, "device", ""))
 
@@ -68,6 +78,9 @@ def main(argv=None) -> None:
                 if not fname.startswith(base) or not fname.endswith(".csv"):
                     continue
                 if args.repeat_index >= 0 and fname != f"{base}-{args.repeat_index}.csv":
+                    continue
+                middle = fname[len(base) : -len(".csv")]
+                if re.fullmatch(args.repeat_regex, middle) is None:
                     continue
                 coeffs = load_blendshape_coeffs(os.path.join(coeffs_dir, fname))
                 frames = render_blendshape_coefficients(

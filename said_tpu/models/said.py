@@ -732,3 +732,138 @@ class SAIDPipeline:
             result=np.asarray(result),
             intermediates=np.asarray(interms) if save_intermediate else None,
         )
+
+    def inference_streaming(
+        self,
+        waveform_processed: np.ndarray,
+        window_frames: int = 3600,
+        overlap_frames: int = 360,
+        num_inference_steps: int = 100,
+        guidance_scale: float = 2.5,
+        guidance_rescale: float = 0.0,
+        eta: float = 0.0,
+        solver: str = "ddim",
+        fps: int = 60,
+        rng: Optional[jax.Array] = None,
+        scan_unroll: int = 1,
+        denoise_chunk: Optional[int] = None,
+    ) -> SAIDInferenceOutput:
+        """Windowed long-clip serving: generate a clip of ANY length as
+        successive ``window_frames``-frame windows stitched through the
+        masked-editing (inpainting) path.
+
+        A capability beyond the reference, built from its own editing
+        mechanism (``said/model/diffusion.py:446-456``): each window
+        after the first is generated with its leading ``overlap_frames``
+        frames PINNED (mask = 1) to the coefficients already produced
+        for those frames — the inpainting re-noising makes the masked
+        region land bit-exactly on the pinned values at the final step,
+        so consecutive windows join without seams and the model
+        free-generates only the new frames, conditioned on the real
+        continuation context.
+
+        Why this exists: the single-sequence path runs full self-
+        attention over all T frames — O(T²) work at the head-dim-32 MXU
+        ceiling and O(T·block) memory. Windowing caps both at
+        ``window_frames`` (compute per clip-second becomes CONSTANT in
+        clip length) at the cost of limiting the self-attention
+        receptive field to one window — an approximation, but one on the
+        model's own terms: training windows are far shorter than a
+        window here (``dataset_voca.py:553-554``), and the audio
+        cross-attention is already banded to ±(r/2+1) frames. Use the
+        single-sequence path (optionally with ``seq_mesh``) when exact
+        full-clip semantics matter; use this for production serving of
+        long audio.
+
+        All windows share compiles: ``prepare`` is keyed on geometry
+        (one compile) and the windows after the first share one denoise
+        program, so an hour-long clip costs two denoise compiles total.
+
+        Parameters beyond :meth:`inference`'s shared ones:
+
+        window_frames : int
+            Frames per window (default 3600 = 60 s at 60 fps). Must be
+            a multiple of 3 so a window spans a whole number of 16 kHz
+            samples (16000/60 Hz = 800/3 samples per frame).
+        overlap_frames : int
+            Frames of continuation context pinned from the previous
+            window (default 360 = 6 s). Larger = more context and more
+            redundant compute; must satisfy 0 < overlap < window.
+
+        The waveform must be ``process_audio``-normalized over the FULL
+        clip (as the CLIs do) so every window sees identically scaled
+        audio. Returns the stitched (B, total_frames, C) result;
+        ``save_intermediate`` / bucketing / ``seq_mesh`` / user
+        init+mask editing are not supported in this mode.
+        """
+        if window_frames % 3:
+            raise ValueError(
+                "window_frames must be a multiple of 3 (a frame is 800/3 "
+                "samples at 16 kHz / 60 fps, so only 3-frame groups span "
+                "whole samples)"
+            )
+        if not 0 < overlap_frames < window_frames:
+            raise ValueError(
+                f"overlap_frames ({overlap_frames}) must be in "
+                f"(0, window_frames={window_frames})"
+            )
+        waveform_processed = np.asarray(waveform_processed)
+        if waveform_processed.ndim == 1:
+            waveform_processed = waveform_processed[None]
+        b, t_a = waveform_processed.shape
+        total_frames = int(t_a / self.sampling_rate * fps)
+        c = self.model.in_channels
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        common = dict(
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            guidance_rescale=guidance_rescale,
+            eta=eta,
+            solver=solver,
+            fps=fps,
+            scan_unroll=scan_unroll,
+            denoise_chunk=denoise_chunk,
+        )
+        if total_frames <= window_frames:
+            return self.inference(waveform_processed, rng=rng, **common)
+
+        w = window_frames
+        stride = w - overlap_frames
+        starts = [0]
+        while starts[-1] + w < total_frames:
+            starts.append(min(starts[-1] + stride, total_frames - w))
+        rngs = jax.random.split(rng, len(starts))
+        spf = self.sampling_rate / fps  # 800/3: not an integer
+        wave_len = (w * self.sampling_rate) // fps  # exact: w % 3 == 0
+
+        out = np.zeros((b, total_frames, c), np.float32)
+        covered = 0
+        for k, start in enumerate(starts):
+            # Sample offset rounds to the nearest sample (≤ 1/3-sample
+            # shift — inaudible, and the pinned overlap region is exact
+            # regardless); the slice never runs past the buffer because
+            # start + w ≤ total_frames ≤ t_a·fps/sr.
+            s0 = min(int(round(start * spf)), t_a - wave_len)
+            wave_k = waveform_processed[:, s0 : s0 + wave_len]
+            if k == 0:
+                out[:, :w] = self.inference(
+                    wave_k, rng=rngs[k], **common
+                ).result
+            else:
+                kept = covered - start  # ≥ overlap; > it only at the end
+                init = np.zeros((b, w, c), np.float32)
+                init[:, :kept] = out[:, start:covered]
+                mask = np.zeros((b, w, c), np.float32)
+                mask[:, :kept] = 1.0
+                res = self.inference(
+                    wave_k,
+                    init_samples=init,
+                    mask=mask,
+                    rng=rngs[k],
+                    **common,
+                ).result
+                out[:, covered : start + w] = res[:, kept:]
+            covered = start + w
+        return SAIDInferenceOutput(result=out, intermediates=None)

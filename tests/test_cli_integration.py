@@ -82,6 +82,25 @@ def test_inference_cli_masked_editing(toy_test_split, tmp_path):
     np.testing.assert_allclose(out[: N_FRAMES // 2], init[: N_FRAMES // 2], atol=1e-4)
 
 
+def test_inference_cli_streaming(toy_test_split, tmp_path):
+    from said_tpu.cli.inference import main
+
+    root, audio_dir, _ = toy_test_split
+    out_csv = str(tmp_path / "streamed.csv")
+    wav = os.path.join(audio_dir, PERSON_IDS_TEST[0], "sentence01.wav")
+    main([
+        "--weights_path", "",
+        "--audio_path", wav,
+        "--output_path", out_csv,
+        "--num_steps", "4",
+        "--streaming_window", "60",
+        "--streaming_overlap", "12",
+    ])
+    coeffs = load_blendshape_coeffs(out_csv)
+    assert coeffs.shape == (N_FRAMES, 32)
+    assert coeffs.min() >= 0 and coeffs.max() <= 1
+
+
 @pytest.fixture(scope="module")
 def generated_dir(toy_test_split, tmp_path_factory):
     from said_tpu.cli.test_inference import main
@@ -121,6 +140,32 @@ def test_test_evaluate_cli(toy_test_split, generated_dir, capsys):
         "--audio_dir", audio_dir,
         "--coeffs_dir", coeffs_dir,
         "--eval_dir", generated_dir,
+        "--vae_weights_path", str(vae_pth),
+        "--wind_num_repeats", "2",
+        "--wind_num_clusters", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "frechet_distance" in out
+    assert "multimodality" in out
+    assert "wind" in out
+
+
+def test_test_evaluate_cli_reference_flags(toy_test_split, generated_dir, capsys):
+    """The reference's own flag pair (--coeffs_dir = GENERATED,
+    --coeffs_real_dir = real; script/test_evaluate.py:469-480) must work
+    verbatim so reference command lines translate 1:1."""
+    vae_pth = pathlib.Path("/root/reference/model/vae.pth")
+    if not vae_pth.exists():
+        pytest.skip("pretrained eval VAE unavailable")
+    from said_tpu.cli.test_evaluate import main
+
+    root, audio_dir, coeffs_dir = toy_test_split
+    main([
+        "--audio_dir", audio_dir,
+        "--coeffs_dir", generated_dir,
+        "--coeffs_real_dir", coeffs_dir,
+        "--sampling_rate", "16000",
+        "--fps", "60",
         "--vae_weights_path", str(vae_pth),
         "--wind_num_repeats", "2",
         "--wind_num_clusters", "2",
