@@ -55,6 +55,7 @@ from said_tpu.train.said_train import (
     create_train_state,
     make_eval_step,
     make_train_step,
+    merge_trainable,
 )
 from said_tpu.utils.blendshape import load_blendshape_coeffs
 
@@ -361,7 +362,9 @@ def main(argv=None) -> None:
         logs["Train/epoch_time_s"] = time.time() - t0
 
         if epoch % args.val_period == 0:
-            val_params = state.ema_params if state.ema_params is not None else state.params
+            # EMA weights overlay the full tree (ema_params covers only the
+            # trainable subset; the frozen encoder comes from state.params)
+            val_params = merge_trainable(state.params, state.ema_params)
             v_totals: dict = {}
             v_count = 0
             val_loader = DataLoader(
@@ -401,9 +404,7 @@ def main(argv=None) -> None:
 
                 # EMA weights, as the reference saves (train.py:648-659);
                 # the .pth loads directly into the reference's SAID_UNet1D.
-                export_params = (
-                    state.ema_params if state.ema_params is not None else state.params
-                )
+                export_params = merge_trainable(state.params, state.ema_params)
                 sd = export_said_to_torch(
                     jax.tree_util.tree_map(np.asarray, export_params)
                 )

@@ -194,3 +194,62 @@ def test_encoder_backward_elided_by_stop_gradient(setup):
         for g in jax.tree_util.tree_leaves(grads["denoiser"])
     )
     assert den_norm > 0.0
+
+
+def test_train_state_tracks_only_trainable_in_opt_and_ema(setup):
+    """Optimizer state and EMA cover only the trainable subset: EMA of a
+    frozen param is identically the param (ema0 = p; d·p + (1−d)·p = p),
+    so dropping the encoder from both is bit-equivalent to the
+    reference's EMA-over-all-parameters (script/train.py:578) while
+    skipping ~1.1 GB/step of HBM traffic on the 94M frozen weights."""
+    from said_tpu.train.said_train import (
+        create_train_state,
+        make_train_step,
+        merge_trainable,
+        trainable_subset,
+    )
+
+    model, params, schedule, wave, coeffs, cond = setup
+    config = TrainConfig(encoder_train_mode=False)
+    state = create_train_state(config, params)
+    assert "audio_encoder" not in state.ema_params
+    assert set(state.ema_params) == set(trainable_subset(params))
+
+    step_fn = jax.jit(make_train_step(model, schedule, config))
+    batch = {"waveform": wave, "coeffs": coeffs, "cond": cond}
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["nan_skipped"]) == 0.0
+
+    # frozen encoder bit-unchanged; trainable params moved
+    enc_diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        params["audio_encoder"], new_state.params["audio_encoder"],
+    )
+    assert max(jax.tree_util.tree_leaves(enc_diff)) == 0.0
+    den_diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        params["denoiser"], new_state.params["denoiser"],
+    )
+    assert max(jax.tree_util.tree_leaves(den_diff)) > 0.0
+
+    # one-step EMA identity on a trainable leaf: warmed decay at step 0
+    # is min(0.9999, 1/10) = 0.1 → ema1 = 0.1·p0 + 0.9·p1
+    leaf0 = params["denoiser"]["input_conv"]["kernel"]
+    leaf1 = new_state.params["denoiser"]["input_conv"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(new_state.ema_params["denoiser"]["input_conv"]["kernel"]),
+        0.1 * np.asarray(leaf0) + 0.9 * np.asarray(leaf1),
+        rtol=1e-6, atol=1e-7,
+    )
+
+    # the merged overlay restores the full tree (validation / export path)
+    full_ema = merge_trainable(new_state.params, new_state.ema_params)
+    assert set(full_ema) == set(params)
+    enc_same = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        full_ema["audio_encoder"], params["audio_encoder"],
+    )
+    assert max(jax.tree_util.tree_leaves(enc_same)) == 0.0
+    # ema disabled → merge is the identity
+    assert merge_trainable(params, None) is params
