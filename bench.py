@@ -572,7 +572,9 @@ def main() -> None:
             ),
             "cond": jax.numpy.ones((1,), bool),
         }
-        step_fn = jax.jit(make_train_step(model, schedule, cfg_t))
+        # per-step dispatches (unlike m_train's chained scan) → donate
+        # the state, as the real train CLI does
+        step_fn = jax.jit(make_train_step(model, schedule, cfg_t), donate_argnums=(0,))
         t0 = time.perf_counter()
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
         loss = float(metrics["loss"])  # sync

@@ -98,7 +98,9 @@ def main(argv=None) -> None:
     )
     betas = frange_cycle_linear(args.epochs, stop=args.beta, n_cycle=args.beta_cycle)
 
-    train_step = jax.jit(make_train_step(model, config))
+    # One dispatch per step → donate the state so params/opt/EMA update
+    # in place instead of being copied into fresh output buffers.
+    train_step = jax.jit(make_train_step(model, config), donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(model, config))
     writer = MetricsWriter(args.output_dir, "SAiD-VAE")
     os.makedirs(args.output_dir, exist_ok=True)
