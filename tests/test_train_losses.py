@@ -253,3 +253,42 @@ def test_train_state_tracks_only_trainable_in_opt_and_ema(setup):
     assert max(jax.tree_util.tree_leaves(enc_same)) == 0.0
     # ema disabled → merge is the identity
     assert merge_trainable(params, None) is params
+
+
+def test_train_step_supports_state_donation(setup):
+    """The train CLIs jit the step with donate_argnums=(0,) (one dispatch
+    per step → in-place state update). Guard the contract that makes
+    that safe: the step must consume the state exactly once and never
+    need the old buffers after returning — two donated steps must run
+    and match the undonated step bit-for-bit."""
+    from said_tpu.train.said_train import create_train_state, make_train_step
+
+    model, params, schedule, wave, coeffs, cond = setup
+    config = TrainConfig()
+    batch = {"waveform": wave, "coeffs": coeffs, "cond": cond}
+
+    plain = jax.jit(make_train_step(model, schedule, config))
+    donating = jax.jit(
+        make_train_step(model, schedule, config), donate_argnums=(0,)
+    )
+
+    s_ref = create_train_state(config, params)
+    s_ref, m_ref = plain(s_ref, batch, jax.random.PRNGKey(3))
+    s_ref, m_ref = plain(s_ref, batch, jax.random.PRNGKey(4))
+
+    # deep-copy the params: the donating step invalidates its input
+    # buffers, and the module-scoped fixture's arrays must survive for
+    # the other tests
+    params_copy = jax.tree_util.tree_map(jnp.array, params)
+    s_don = create_train_state(config, params_copy)
+    s_don, _ = donating(s_don, batch, jax.random.PRNGKey(3))
+    s_don, m_don = donating(s_don, batch, jax.random.PRNGKey(4))
+
+    np.testing.assert_array_equal(
+        np.asarray(m_ref["loss"]), np.asarray(m_don["loss"])
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref.params),
+        jax.tree_util.tree_leaves(s_don.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
