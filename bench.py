@@ -283,7 +283,14 @@ def _run_isolated(name: str, budget_left: float) -> None:
 
     env = dict(os.environ)
     env["SAID_BENCH_BUDGET_S"] = str(max(60.0, budget_left))
-    env["SAID_BENCH_INIT_WAIT_S"] = "120"  # parent just probed OK
+    # The parent probed the backend right before spawning, so the child
+    # skips its own probe: a probe subprocess costs a full python+jax
+    # startup (~1 min on this starved host, and under CPU contention a
+    # single 120 s attempt can time out and falsely report the tunnel
+    # down — seen mid-round 4, losing both risky metrics' values). If
+    # the tunnel dies between probe and child, the kill-timer below
+    # bounds the hang and the parent emits the skip line.
+    env["SAID_BENCH_SKIP_PROBE"] = "1"
     env["SAID_BENCH_CHILD"] = "1"  # the child must never isolate again
     env.pop("SAID_BENCH_FORCE_ISOLATE", None)
     timeout = min(budget_left + 120.0, 900.0)
@@ -329,7 +336,9 @@ def main() -> None:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
-    if not _probe_backend(float(os.environ.get("SAID_BENCH_INIT_WAIT_S", "600"))):
+    if not os.environ.get("SAID_BENCH_SKIP_PROBE") and not _probe_backend(
+        float(os.environ.get("SAID_BENCH_INIT_WAIT_S", "600"))
+    ):
         # Self-describing artifact even in a total outage: one parseable
         # line saying WHY there are no numbers, instead of a bare crash.
         _skip("tpu_backend", "error: accelerator backend unreachable (tunnel down)")
