@@ -39,7 +39,7 @@ from said_tpu.data.blendvoca import (
     BlendVOCATrainDataset,
     BlendVOCAValDataset,
 )
-from said_tpu.data.loader import DataLoader
+from said_tpu.data.loader import DataLoader, prefetch
 from said_tpu.diffusion.schedule import DiffusionSchedule
 from said_tpu.models.said import process_audio
 from said_tpu.parallel.mesh import (
@@ -357,13 +357,26 @@ def main(argv=None) -> None:
         t0 = time.time()
         totals: dict = {}
         count = 0
-        for batch in train_loader:
+        # Batches are produced on a background thread (prefetch) and the
+        # metric scalars of step N are read only AFTER step N+1 has been
+        # dispatched — the device-to-host transfer then overlaps device
+        # compute instead of stalling the loop once per step (each sync
+        # is a full tunnel round-trip on remote-attached TPUs).
+        pending = None
+        for batch in prefetch(train_loader):
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, prepare_batch(batch), step_rng)
-            bsz = len(batch.waveform)
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v) * bsz
-            count += bsz
+            if pending is not None:
+                p_metrics, p_bsz = pending
+                for k, v in p_metrics.items():
+                    totals[k] = totals.get(k, 0.0) + float(v) * p_bsz
+                count += p_bsz
+            pending = (metrics, len(batch.waveform))
+        if pending is not None:
+            p_metrics, p_bsz = pending
+            for k, v in p_metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v) * p_bsz
+            count += p_bsz
 
         logs = {f"Train/{k}": v / count for k, v in totals.items()}
         logs["Train/epoch_time_s"] = time.time() - t0
@@ -378,7 +391,7 @@ def main(argv=None) -> None:
                 val_dataset, batch_size=1, collate_fn=val_dataset.collate_fn
             )
             for _ in range(args.val_repeat):
-                for batch in val_loader:
+                for batch in prefetch(val_loader):
                     rng, step_rng = jax.random.split(rng)
                     metrics = eval_step(
                         val_params,

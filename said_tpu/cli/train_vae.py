@@ -16,10 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from said_tpu.cli._common import configure_platform, str2bool
-from said_tpu.cli._common import str2bool
 from said_tpu.core.logging import MetricsWriter
 from said_tpu.data.blendvoca import BlendVOCAVAEDataset
-from said_tpu.data.loader import DataLoader
+from said_tpu.data.loader import DataLoader, prefetch
 from said_tpu.models.vae import BCVAE
 from said_tpu.train.vae_train import (
     VAETrainConfig,
@@ -110,7 +109,7 @@ def main(argv=None) -> None:
         t0 = time.time()
         totals: dict = {}
         count = 0
-        for batch in train_loader:
+        for batch in prefetch(train_loader):
             rng, step_rng = jax.random.split(rng)
             coeffs = jnp.asarray(batch.blendshape_coeffs)
             state, metrics = train_step(
@@ -130,7 +129,7 @@ def main(argv=None) -> None:
             v_totals: dict = {}
             v_count = 0
             for _ in range(args.val_repeat):
-                for batch in val_loader:
+                for batch in prefetch(val_loader):
                     rng, step_rng = jax.random.split(rng)
                     coeffs = jnp.asarray(batch.blendshape_coeffs)
                     metrics = eval_step(

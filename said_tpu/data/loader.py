@@ -9,7 +9,9 @@ RAM, so worker processes buy nothing here.
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, Optional
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
 
 import numpy as np
 
@@ -53,3 +55,38 @@ class DataLoader:
             if self.drop_last and len(batch_idx) < self.batch_size:
                 break
             yield self.collate_fn([self.dataset[int(i)] for i in batch_idx])
+
+
+def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
+    """Iterate ``iterable`` on a background thread, keeping up to
+    ``depth`` items ready.
+
+    The training loops are host-bound between dispatches (windowing +
+    augmentation + collation happen per batch); producing the next batch
+    on a thread while the device executes the current step removes that
+    stall. ``depth`` bounds the RAM held in flight. Exceptions raised by
+    the producer re-raise at the consumer's next pull.
+
+    Meant for fully-consumed epoch iterations: abandoning the generator
+    early leaves the (daemon) producer thread parked on its bounded
+    queue until process exit, holding up to ``depth`` batches.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def worker() -> None:
+        try:
+            for item in iterable:
+                q.put((True, item))
+        except BaseException as e:  # propagate, don't kill the thread silently
+            q.put((False, e))
+        else:
+            q.put((False, None))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        ok, val = q.get()
+        if not ok:
+            if val is not None:
+                raise val
+            return
+        yield val

@@ -135,3 +135,27 @@ def test_vae_dataset_fixed_window(toy_blendvoca):
     assert item.blendshape_coeffs.shape == (120, 32)
     batch = BlendVOCAVAEDataset.collate_fn([ds[0], ds[1]])
     assert batch.blendshape_coeffs.shape == (2, 120, 32)
+
+
+def test_prefetch_matches_direct_iteration_and_propagates_errors():
+    """prefetch() must yield exactly the loader's sequence (order and
+    identity), exhaust cleanly, and re-raise producer exceptions at the
+    consumer."""
+    from said_tpu.data.loader import prefetch
+
+    items = [{"i": i} for i in range(7)]
+    assert list(prefetch(iter(items), depth=2)) == items
+    assert list(prefetch(iter([]), depth=2)) == []
+
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("producer failed")
+
+    got = []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="producer failed"):
+        for x in prefetch(boom(), depth=1):
+            got.append(x)
+    assert got == [1, 2]
