@@ -17,6 +17,11 @@ Stages (same (B*H, T, D) per-head layout as tools/attn_probe.py):
 - full_int8qk: int8 QK^T -> int32 scores, running max kept in raw int
   units (max commutes with the positive dequant scale), dequant folded
   into the exp2 argument, PV kept bf16. The realistic Amdahl case.
+- full_int8qkpv: additionally quantizes the probabilities (p*127, one
+  extra VPU pass) and V (per-tensor) so BOTH matmuls run int8. The
+  ones-augmented denominator column becomes the constant 127. Upper
+  bound of the approach — and its numerics bill includes the p<1/254
+  truncation, which matters at long T (many small tail probabilities).
 
 Also prints max |output - f32 dense| for both full variants so the
 throughput answer comes with its numerics bill (per-tensor symmetric
@@ -47,7 +52,8 @@ _LOG2E = math.log2(math.e)
 
 
 def build(stage: str, t: int, block_q: int, block_k: int, b: int, h: int,
-          d: int, dequant_log2: float = 0.0, interpret: bool = False):
+          d: int, dequant_log2: float = 0.0, pv_scale: float = 1.0,
+          interpret: bool = False):
     """One jitted pallas_call for the given stage.
 
     int8 stages take pre-quantized q/k (int8); ``dequant_log2`` is the
@@ -57,7 +63,8 @@ def build(stage: str, t: int, block_q: int, block_k: int, b: int, h: int,
     """
     num_q = t // block_q
     num_k = t // block_k
-    int8_qk = stage in ("dot_int8", "full_int8qk")
+    int8_qk = stage in ("dot_int8", "full_int8qk", "full_int8qkpv")
+    int8_pv = stage == "full_int8qkpv"
     is_dot = stage.startswith("dot_")
     acc_d = d if is_dot else d + 1
 
@@ -102,17 +109,30 @@ def build(stage: str, t: int, block_q: int, block_k: int, b: int, h: int,
             m_new = jnp.maximum(m_prev, sc.max(axis=-1, keepdims=True))
             p = jnp.exp2(sc - m_new)
             alpha = jnp.exp2(m_prev - m_new)
-        acc_scr[...] = acc_scr[...] * alpha + lax.dot_general(
-            p.astype(vb.dtype), vb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if int8_pv:
+            # both matmuls int8: quantize p (in [0, 1]) to p*127; the
+            # ones-augmented denominator column of vb is the constant
+            # 127, so out = acc[:, :d]·sv·127 / acc[:, d] exactly cancels
+            # the scales at finalize time (folded into sv by the caller)
+            pq = jnp.rint(p * 127.0).astype(jnp.int8)
+            acc_scr[...] = acc_scr[...] * alpha + lax.dot_general(
+                pq, vb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            acc_scr[...] = acc_scr[...] * alpha + lax.dot_general(
+                p.astype(vb.dtype), vb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         m_scr[...] = m_new
 
         @pl.when(ki == num_k - 1)
         def _():
             acc = acc_scr[...]
-            o_ref[0] = (acc[:, :d] / acc[:, d:d + 1]).astype(o_ref.dtype)
+            num = acc[:, :d] * pv_scale if int8_pv else acc[:, :d]
+            o_ref[0] = (num / acc[:, d:d + 1]).astype(o_ref.dtype)
 
     @jax.jit
     def run(qf, kf, vf):
@@ -201,6 +221,16 @@ def main():
     k_i8 = jnp.asarray(np.clip(np.rint(k32 / sk), -127, 127), jnp.int8)
     dequant_log2 = sq * sk * scale * _LOG2E  # raw int32 score -> exp2 arg
 
+    # int8 V for the qkpv stage: per-tensor scale, ones column -> 127
+    sv = float(np.abs(v32).max() / 127.0)
+    v_i8 = jnp.asarray(
+        np.concatenate(
+            [np.clip(np.rint(v32 / sv), -127, 127), 127.0 * ones], -1
+        ),
+        jnp.int8,
+    )
+    pv_scale = sv * 127.0  # folds both 1/127 prob scales at finalize
+
     # f32 dense oracle for numerics
     sc = np.einsum("btd,bsd->bts", q32, k32) * scale
     p = np.exp(sc - sc.max(-1, keepdims=True))
@@ -211,13 +241,16 @@ def main():
           f"backend={jax.default_backend()}")
 
     results = {}
-    for stage in ["dot_bf16", "dot_int8", "full_bf16", "full_int8qk"]:
+    for stage in ["dot_bf16", "dot_int8", "full_bf16", "full_int8qk",
+                  "full_int8qkpv"]:
         fn = build(stage, t, args.block_q, args.block_k, b, h, d,
                    dequant_log2=dequant_log2 if "int8" in stage else 0.0,
+                   pv_scale=pv_scale,
                    interpret=args.interpret)
         qa = q_i8 if "int8" in stage else q_bf
         ka = k_i8 if "int8" in stage else k_bf
-        va = v_plain if stage.startswith("dot_") else v_aug
+        va = (v_plain if stage.startswith("dot_")
+              else v_i8 if stage == "full_int8qkpv" else v_aug)
         try:
             out = np.asarray(fn(qa, ka, va), np.float32)
         except Exception as e:
@@ -243,6 +276,9 @@ def main():
     if "full_bf16" in results and "full_int8qk" in results:
         r = results["full_bf16"] / results["full_int8qk"]
         print(f"# full-kernel int8-QK speedup: {r:.2f}x")
+    if "full_bf16" in results and "full_int8qkpv" in results:
+        r = results["full_bf16"] / results["full_int8qkpv"]
+        print(f"# full-kernel int8-QK+PV speedup: {r:.2f}x")
 
 
 if __name__ == "__main__":
