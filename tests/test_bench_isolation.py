@@ -1,0 +1,83 @@
+"""Behavioral pins for bench.py's isolated-metric child machinery.
+
+The driver's BENCH record depends on every isolated child getting enough
+wall-clock to finish a warm-cache run: round 4 saw a cold headline
+recompile (~400 s after a tunnel restart) drain the parent budget so the
+final child was spawned with a 240 s remainder and SIGKILLed
+mid-measurement. These tests pin the 330 s child-budget floor and the
+matching kill-timer so a refactor can't quietly reintroduce starvation.
+"""
+
+import json
+import subprocess
+import threading
+
+import bench
+
+
+class _FakeProc:
+    def __init__(self, lines):
+        self.stdout = iter(lines)
+
+    def wait(self):
+        return 0
+
+    def kill(self):  # pragma: no cover - never hit with instant lines
+        raise AssertionError("fake child should not be killed")
+
+
+def _run_with_fakes(monkeypatch, budget_left, lines=("",)):
+    captured = {}
+
+    def fake_popen(cmd, stdout=None, stderr=None, env=None, text=None):
+        captured["env"] = env
+        return _FakeProc(list(lines))
+
+    real_timer = threading.Timer
+
+    def fake_timer(interval, fn):
+        captured["timeout"] = interval
+        return real_timer(interval, fn)
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    monkeypatch.setattr(threading, "Timer", fake_timer)
+    bench._run_isolated("some_metric", budget_left)
+    return captured
+
+
+def test_child_budget_floored_at_330s(monkeypatch):
+    # A starved remainder (e.g. 240 s left after a cold recompile) must
+    # not pass through: the most expensive child needs ~280 s warm.
+    cap = _run_with_fakes(monkeypatch, budget_left=50.0)
+    assert float(cap["env"]["SAID_BENCH_BUDGET_S"]) == 330.0
+    # the kill timer must match the floored budget, not the remainder
+    assert cap["timeout"] == 330.0 + 120.0
+
+
+def test_child_budget_passes_through_when_ample(monkeypatch):
+    cap = _run_with_fakes(monkeypatch, budget_left=500.0)
+    assert float(cap["env"]["SAID_BENCH_BUDGET_S"]) == 500.0
+    assert cap["timeout"] == 500.0 + 120.0
+
+
+def test_child_env_marks_child_and_skips_probe(monkeypatch):
+    cap = _run_with_fakes(monkeypatch, budget_left=400.0)
+    assert cap["env"]["SAID_BENCH_CHILD"] == "1"
+    assert cap["env"]["SAID_BENCH_SKIP_PROBE"] == "1"
+    assert "SAID_BENCH_FORCE_ISOLATE" not in cap["env"]
+
+
+def test_child_value_lines_reach_the_closing_reemit(monkeypatch, capsys):
+    # Value lines streamed from a child are recorded in _VALUE_LINES so
+    # the closing headline re-emit (driver 'parsed' field protection)
+    # can see them.
+    before = list(bench._VALUE_LINES)
+    line = json.dumps(
+        {"metric": "rtf_1000step_b1_360s", "value": 4.7, "unit": "x_realtime"}
+    )
+    try:
+        _run_with_fakes(monkeypatch, budget_left=400.0, lines=[line + "\n"])
+        assert line in bench._VALUE_LINES
+        assert line in capsys.readouterr().out
+    finally:
+        bench._VALUE_LINES[:] = before
