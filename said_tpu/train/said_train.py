@@ -158,6 +158,8 @@ def said_loss(
     mask_time_indices: Optional[jnp.ndarray] = None,  # (B, window) bool
     window_real=None,  # traced scalar: real frames in a padded window
     input_length=None,  # traced scalar: real samples in a padded waveform
+    timesteps: Optional[jnp.ndarray] = None,  # (B,) injected (parity tests)
+    noise: Optional[jnp.ndarray] = None,  # (B, T, C) injected (parity tests)
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Randomized-noise training loss (reference ``random_noise_loss``).
 
@@ -178,7 +180,10 @@ def said_loss(
 
     coeff_latents = coeffs * model.latent_scale
 
-    timesteps = jax.random.randint(rng_t, (b,), 0, schedule.num_train_timesteps)
+    if timesteps is None:
+        timesteps = jax.random.randint(
+            rng_t, (b,), 0, schedule.num_train_timesteps
+        )
 
     variables = {"params": params}
     # Reference parity: the frozen encoder runs in TRAIN mode during
@@ -204,7 +209,8 @@ def said_loss(
     cond_mask = cond.reshape(-1, 1, 1)
     audio_embedding = jnp.where(cond_mask, cond_embedding, uncond_embedding)
 
-    noise = jax.random.normal(rng_n, coeff_latents.shape, coeff_latents.dtype)
+    if noise is None:
+        noise = jax.random.normal(rng_n, coeff_latents.shape, coeff_latents.dtype)
     noisy = schedule.add_noise(coeff_latents, noise, timesteps)
     velocity = schedule.get_velocity(coeff_latents, noise, timesteps)
 
@@ -259,8 +265,12 @@ def said_loss(
         bsz, k, v, i = bd.shape
         norm = jnp.abs(bd).sum(axis=(1, 2, 3)) / (k * v * i)
         bd_normalized = (bd / norm.reshape(-1, 1, 1, 1)).reshape(bsz, k, v * i)
-        be_answer = jnp.einsum("btk,bkd->btd", answer, bd_normalized)
-        be_pred = jnp.einsum("btk,bkd->btd", pred, bd_normalized)
+        # Reference parity: ``script/train.py:118-120`` reweights with an
+        # IN-PLACE ``/=`` on the very tensors the vertex loss then reads
+        # (``train.py:143-149``), so with std given the vertex loss runs
+        # on the std-reweighted pred/answer — reproduce that exactly.
+        be_answer = jnp.einsum("btk,bkd->btd", answer_rw, bd_normalized)
+        be_pred = jnp.einsum("btk,bkd->btd", pred_rw, bd_normalized)
         if dynamic:
             mv = frame_mask[None, :, None]
             loss_vertex = (jnp.abs(be_pred - be_answer) * mv).sum() / (

@@ -76,17 +76,18 @@ def elbo_loss(
     config: VAETrainConfig,
     beta: jnp.ndarray,
     train: bool = True,
+    use_noise: bool = True,  # False: z = mean (deterministic parity tests)
 ) -> Tuple[jnp.ndarray, Dict]:
     b = coeffs.shape[0]
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         out, mutated = model.apply(
-            variables, coeffs, rng=rng, use_noise=True, train=True,
+            variables, coeffs, rng=rng, use_noise=use_noise, train=True,
             mutable=["batch_stats"],
         )
         new_stats = mutated["batch_stats"]
     else:
-        out = model.apply(variables, coeffs, rng=rng, use_noise=True, train=False)
+        out = model.apply(variables, coeffs, rng=rng, use_noise=use_noise, train=False)
         new_stats = batch_stats
 
     answer, pred = coeffs, out.coeffs_reconst
