@@ -179,61 +179,15 @@ def _unet_fold_saved_flops(t: int) -> float:
 
 
 def fast_init(model, seed: int = 0):
-    """Bench-only param init: ``jax.eval_shape`` over the real flax init
-    (no device compile — the regular ``init_said_params`` costs ~3 min
-    of this host's single core compiling two init programs over the
-    tunnel) + host-side numpy values. Weight VALUES don't affect timing;
-    shapes/dtypes match the real init exactly."""
-    import numpy as _np
+    """Shape-faithful no-compile param init — canonical implementation
+    lives in the package (``said_tpu.cli._common.fast_init``) so the
+    driver's multichip entry doesn't depend on bench internals; this
+    thin wrapper keeps bench.py's lazy-import discipline (importing
+    said_tpu pulls in flax, which tests that import bench shouldn't
+    pay for)."""
+    from said_tpu.cli._common import fast_init as _impl
 
-    from said_tpu.models.said import SAID
-
-    rng0 = jax.random.PRNGKey(seed)
-
-    def shapes():
-        import jax.numpy as jnp
-
-        wave = jnp.zeros((1, 3200), jnp.float32)
-        sample = jnp.zeros((1, 12, model.in_channels), jnp.float32)
-        t = jnp.zeros((1,), jnp.int32)
-        emb_dim = (
-            model.feature_dim
-            if model.feature_dim > 0
-            else model.audio_config.hidden_size
-        )
-        ctx = jnp.zeros((1, 12, emb_dim), jnp.float32)
-        a = jax.eval_shape(
-            lambda r, s, tt, c: model.init({"params": r}, s, tt, c),
-            rng0, sample, t, ctx,
-        )["params"]
-        b = jax.eval_shape(
-            lambda r, w: model.init(
-                {"params": r}, w, 12, method=SAID.get_audio_embedding
-            ),
-            rng0, wave,
-        )["params"]
-        merged = dict(a)
-        for k, v in b.items():
-            merged.setdefault(k, v)
-        return merged
-
-    nprng = _np.random.default_rng(seed)
-
-    def materialize(path, leaf):
-        name = "/".join(str(p.key) for p in path)
-        if leaf.ndim == 0 or "bias" in name:
-            return _np.zeros(leaf.shape, leaf.dtype)
-        if "scale" in name or "norm" in name.rsplit("/", 1)[-1]:
-            return _np.ones(leaf.shape, leaf.dtype)
-        return (nprng.standard_normal(leaf.shape) * 0.02).astype(leaf.dtype)
-
-    import jax.tree_util as jtu
-
-    host = jtu.tree_map_with_path(materialize, shapes())
-    # numpy leaves would be re-transferred over the tunnel on EVERY
-    # jitted call (measured: 450 ms/train-step vs 11 ms with device
-    # arrays) — commit the tree to the device once.
-    return jax.device_put(host)
+    return _impl(model, seed=seed)
 
 
 def _probe_backend(wait_s: float) -> bool:

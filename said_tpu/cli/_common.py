@@ -124,6 +124,66 @@ def init_said_params(model: SAID, seed: int = 0):
     return params
 
 
+def fast_init(model: SAID, seed: int = 0):
+    """Shape-faithful param init with NO device compile.
+
+    ``jax.eval_shape`` over the real flax init gives the exact tree
+    structure/shapes/dtypes of :func:`init_said_params`, then host-side
+    numpy fills the values (zeros for biases, ones for norm scales,
+    0.02-std normal elsewhere) and the tree is committed to the device
+    once. Used where init latency matters but weight VALUES don't
+    (bench timing, the driver's multichip dryrun, probes): the regular
+    init costs ~3 min compiling two init programs over a remote-attached
+    TPU; this costs milliseconds.
+    """
+    import numpy as _np
+
+    rng0 = jax.random.PRNGKey(seed)
+
+    def shapes():
+        wave = jnp.zeros((1, 3200), jnp.float32)
+        sample = jnp.zeros((1, 12, model.in_channels), jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        emb_dim = (
+            model.feature_dim
+            if model.feature_dim > 0
+            else model.audio_config.hidden_size
+        )
+        ctx = jnp.zeros((1, 12, emb_dim), jnp.float32)
+        a = jax.eval_shape(
+            lambda r, s, tt, c: model.init({"params": r}, s, tt, c),
+            rng0, sample, t, ctx,
+        )["params"]
+        b = jax.eval_shape(
+            lambda r, w: model.init(
+                {"params": r}, w, 12, method=SAID.get_audio_embedding
+            ),
+            rng0, wave,
+        )["params"]
+        merged = dict(a)
+        for k, v in b.items():
+            merged.setdefault(k, v)
+        return merged
+
+    nprng = _np.random.default_rng(seed)
+
+    def materialize(path, leaf):
+        name = "/".join(str(p.key) for p in path)
+        if leaf.ndim == 0 or "bias" in name:
+            return _np.zeros(leaf.shape, leaf.dtype)
+        if "scale" in name or "norm" in name.rsplit("/", 1)[-1]:
+            return _np.ones(leaf.shape, leaf.dtype)
+        return (nprng.standard_normal(leaf.shape) * 0.02).astype(leaf.dtype)
+
+    import jax.tree_util as jtu
+
+    host = jtu.tree_map_with_path(materialize, shapes())
+    # numpy leaves would be re-transferred over a remote-attached
+    # device's tunnel on EVERY jitted call (measured: 450 ms/train-step
+    # vs 11 ms with device arrays) — commit the tree to the device once.
+    return jax.device_put(host)
+
+
 def load_said_params(weights_path: Optional[str], model: SAID, seed: int = 0):
     """Load params: torch .pth (full SAiD), HF wav2vec2 snapshot dir
     (audio encoder only, rest random — the reference's training init),

@@ -23,7 +23,7 @@ from jax import lax
 def main():
     import jax.numpy as jnp
 
-    from bench import fast_init
+    from said_tpu.cli._common import fast_init
     from said_tpu.cli._common import build_said_model
     from said_tpu.diffusion.schedule import DiffusionSchedule
     from said_tpu.models.said import process_audio
