@@ -29,10 +29,10 @@ from said_tpu.utils.parser import parse_list
 
 
 from said_tpu.cli._common import configure_platform
+from said_tpu.data.assets import asset_path
 
 
 def main(argv=None) -> None:
-    default_data_dir = pathlib.Path("/root/reference/data")
 
     parser = argparse.ArgumentParser(
         description="Optimize pseudo-GT blendshape coefficients (TPU-native)"
@@ -43,10 +43,10 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--blendshape_list_path",
         type=str,
-        default=str(default_data_dir / "ARKit_blendshapes.txt"),
+        default=asset_path("ARKit_blendshapes.txt"),
     )
     parser.add_argument(
-        "--head_idx_path", type=str, default=str(default_data_dir / "FLAME_head_idx.txt")
+        "--head_idx_path", type=str, default=asset_path("FLAME_head_idx.txt")
     )
     parser.add_argument(
         "--output_dir",

@@ -23,10 +23,10 @@ from said_tpu.utils.parser import parse_list
 
 
 from said_tpu.cli._common import configure_platform
+from said_tpu.data.assets import asset_path
 
 
 def main(argv=None) -> None:
-    default_data_dir = pathlib.Path("/root/reference/data")
 
     parser = argparse.ArgumentParser(
         description="Preprocess the BlendVOCA blendshape meshes (TPU-native)"
@@ -39,7 +39,7 @@ def main(argv=None) -> None:
         default="../BlendVOCA/blendshape_deltas.pickle",
     )
     parser.add_argument(
-        "--head_idx_path", type=str, default=str(default_data_dir / "FLAME_head_idx.txt")
+        "--head_idx_path", type=str, default=asset_path("FLAME_head_idx.txt")
     )
     # Reference layout (script/preprocess_blendvoca.py:40-48): ONE parent
     # dir holding templates_head/ and blendshapes_head/. The explicit

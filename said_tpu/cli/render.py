@@ -25,6 +25,7 @@ from said_tpu.utils.parser import parse_list
 
 
 from said_tpu.cli._common import configure_platform, str2bool
+from said_tpu.data.assets import asset_path
 
 
 def load_blendshape_setup(neutral_path: str, blendshapes_dir: str, names):
@@ -40,7 +41,6 @@ def load_blendshape_setup(neutral_path: str, blendshapes_dir: str, names):
 
 
 def main(argv=None) -> None:
-    default_data_dir = pathlib.Path("/root/reference/data")
     parser = argparse.ArgumentParser(
         description="Render the blendshape coefficients into a video (TPU-native)"
     )
@@ -63,7 +63,7 @@ def main(argv=None) -> None:
                         help="also dump each rendered frame as a PNG")
     parser.add_argument("--output_images_dir", type=str, default="../render_images")
     parser.add_argument("--blendshape_list_path", type=str,
-                        default=str(default_data_dir / "ARKit_blendshapes.txt"))
+                        default=asset_path("ARKit_blendshapes.txt"))
     parser.add_argument("--output_path", type=str, default="../out.avi")
     parser.add_argument("--fps", type=int, default=60)
     parser.add_argument("--max_diff", type=float, default=0.001)

@@ -23,10 +23,10 @@ from said_tpu.utils.parser import parse_list
 
 
 from said_tpu.cli._common import configure_platform
+from said_tpu.data.assets import asset_path
 
 
 def main(argv=None) -> None:
-    default_data_dir = pathlib.Path("/root/reference/data")
     parser = argparse.ArgumentParser(
         description="Render all evaluation outputs (TPU-native)"
     )
@@ -40,7 +40,7 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--blendshapes_dir", type=str, default="../BlendVOCA/blendshapes_head")
     parser.add_argument("--blendshape_list_path", type=str,
-                        default=str(default_data_dir / "ARKit_blendshapes.txt"))
+                        default=asset_path("ARKit_blendshapes.txt"))
     parser.add_argument("--output_dir", type=str, default="../render_out")
     parser.add_argument("--fps", type=int, default=60)
     parser.add_argument("--repeat_index", type=int, default=-1,
