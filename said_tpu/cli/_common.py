@@ -13,7 +13,45 @@ from said_tpu.models.said import SAID
 from said_tpu.models.vae import BCVAE
 
 
-def configure_platform(device: str = "") -> None:
+def configure_compilation_cache(cache_dir: str = "") -> str:
+    """Enable jax's persistent compilation cache for this process.
+
+    Long-clip programs cost 95-400 s to compile cold on a single host
+    core; with the cache a second invocation deserializes the compiled
+    executable in seconds. Resolution order: explicit ``cache_dir``
+    (the CLIs' ``--compilation_cache_dir``) → the conventional
+    ``JAX_COMPILATION_CACHE_DIR`` env var (set through the config API
+    too, since some jax builds ignore the env var) →
+    ``~/.cache/said_tpu/jax_comp_cache``. Pass ``none``/``off`` to
+    disable. Returns the directory used ('' when disabled).
+    """
+    want = (cache_dir or "").strip()
+    if want.lower() in ("none", "off", "0", "disable", "disabled"):
+        return ""
+    d = want or os.environ.get("JAX_COMPILATION_CACHE_DIR", "") or os.path.join(
+        os.path.expanduser("~"), ".cache", "said_tpu", "jax_comp_cache"
+    )
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+    except Exception:
+        return ""
+    # jax only persists entries whose compile took >1 s by default;
+    # mirror the conventional env knob through the config API (ignored
+    # as an env var by some builds) so tests/tiny-program users can
+    # lower it.
+    mct = os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "")
+    if mct:
+        try:
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", float(mct)
+            )
+        except Exception:
+            pass
+    return d
+
+
+def configure_platform(device: str = "", compilation_cache_dir: str = "") -> None:
     """Select the jax platform BEFORE first backend use.
 
     This jax build ignores the ``JAX_PLATFORMS`` env var, so the CLIs
@@ -21,7 +59,11 @@ def configure_platform(device: str = "") -> None:
     ``--device cpu``) through the config API instead. ``cuda:0``-style
     values from reference commands fall through to the default backend
     (the accelerator jax selects). No-op once a backend is initialized.
+
+    Also enables the persistent compilation cache (see
+    :func:`configure_compilation_cache`) for every CLI.
     """
+    configure_compilation_cache(compilation_cache_dir)
     want = (device or os.environ.get("JAX_PLATFORMS", "")).strip().lower()
     if want.startswith("cpu"):
         try:

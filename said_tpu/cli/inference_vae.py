@@ -37,8 +37,13 @@ def main(argv=None) -> None:
     parser.add_argument("--use_noise", type=str2bool, default=False)
     parser.add_argument("--device", type=str, default="", help="cpu forces the host platform; other values use the accelerator jax selects")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--compilation_cache_dir", type=str, default="",
+                        help="persistent XLA compile cache dir "
+                             "(default ~/.cache/said_tpu/jax_comp_cache; "
+                             "'none' disables)")
     args = parser.parse_args(argv)
-    configure_platform(getattr(args, "device", ""))
+    configure_platform(getattr(args, "device", ""),
+                       getattr(args, "compilation_cache_dir", ""))
 
     model, params, batch_stats = load_vae(args.weights_path, seed=args.seed)
 

@@ -55,8 +55,13 @@ def main(argv=None) -> None:
         default="../BlendVOCA/blendshape_coeffs",
     )
     parser.add_argument("--delta", type=float, default=0.1)
+    parser.add_argument("--compilation_cache_dir", type=str, default="",
+                        help="persistent XLA compile cache dir "
+                             "(default ~/.cache/said_tpu/jax_comp_cache; "
+                             "'none' disables)")
     args = parser.parse_args(argv)
-    configure_platform(getattr(args, "device", ""))
+    configure_platform(getattr(args, "device", ""),
+                       getattr(args, "compilation_cache_dir", ""))
 
     blendshape_names = (
         parse_list(args.blendshape_list_path, str)

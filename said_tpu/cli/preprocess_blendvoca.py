@@ -47,8 +47,13 @@ def main(argv=None) -> None:
     parser.add_argument("--blendshapes_out_dir", type=str, default="")
     parser.add_argument("--neutrals_dir", type=str, default="../BlendVOCA/templates_head")
     parser.add_argument("--blendshapes_dir", type=str, default="../BlendVOCA/blendshapes_head")
+    parser.add_argument("--compilation_cache_dir", type=str, default="",
+                        help="persistent XLA compile cache dir "
+                             "(default ~/.cache/said_tpu/jax_comp_cache; "
+                             "'none' disables)")
     args = parser.parse_args(argv)
-    configure_platform(getattr(args, "device", ""))
+    configure_platform(getattr(args, "device", ""),
+                       getattr(args, "compilation_cache_dir", ""))
     if args.blendshapes_out_dir:
         args.neutrals_dir = os.path.join(args.blendshapes_out_dir, "templates_head")
         args.blendshapes_dir = os.path.join(args.blendshapes_out_dir, "blendshapes_head")

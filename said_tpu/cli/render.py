@@ -69,8 +69,13 @@ def main(argv=None) -> None:
     parser.add_argument("--max_diff", type=float, default=0.001)
     parser.add_argument("--width", type=int, default=800)
     parser.add_argument("--height", type=int, default=800)
+    parser.add_argument("--compilation_cache_dir", type=str, default="",
+                        help="persistent XLA compile cache dir "
+                             "(default ~/.cache/said_tpu/jax_comp_cache; "
+                             "'none' disables)")
     args = parser.parse_args(argv)
-    configure_platform(getattr(args, "device", ""))
+    configure_platform(getattr(args, "device", ""),
+                       getattr(args, "compilation_cache_dir", ""))
 
     names = (
         parse_list(args.blendshape_list_path, str)

@@ -142,8 +142,13 @@ def main(argv=None) -> None:
         help="also compute the max vertex error (requires "
              "--blendshape_residuals_path)",
     )
+    parser.add_argument("--compilation_cache_dir", type=str, default="",
+                        help="persistent XLA compile cache dir "
+                             "(default ~/.cache/said_tpu/jax_comp_cache; "
+                             "'none' disables)")
     args = parser.parse_args(argv)
-    configure_platform(getattr(args, "device", ""))
+    configure_platform(getattr(args, "device", ""),
+                       getattr(args, "compilation_cache_dir", ""))
 
     model, params, batch_stats = load_vae(args.vae_weights_path)
 

@@ -65,8 +65,13 @@ def main(argv=None) -> None:
              "clips (length-sorted to minimize padding) instead of "
              "repeating one clip per batch; requires --length_bucket",
     )
+    parser.add_argument("--compilation_cache_dir", type=str, default="",
+                        help="persistent XLA compile cache dir "
+                             "(default ~/.cache/said_tpu/jax_comp_cache; "
+                             "'none' disables)")
     args = parser.parse_args(argv)
-    configure_platform(getattr(args, "device", ""))
+    configure_platform(getattr(args, "device", ""),
+                       getattr(args, "compilation_cache_dir", ""))
 
     model = build_said_model(
         prediction_type=args.prediction_type,

@@ -49,8 +49,13 @@ def main(argv=None) -> None:
                         help="regex the part of the filename between "
                              "sentenceXX and .csv must fully match "
                              "(reference script/test_render.py:62-67)")
+    parser.add_argument("--compilation_cache_dir", type=str, default="",
+                        help="persistent XLA compile cache dir "
+                             "(default ~/.cache/said_tpu/jax_comp_cache; "
+                             "'none' disables)")
     args = parser.parse_args(argv)
-    configure_platform(getattr(args, "device", ""))
+    configure_platform(getattr(args, "device", ""),
+                       getattr(args, "compilation_cache_dir", ""))
 
     names = (
         parse_list(args.blendshape_list_path, str)

@@ -144,8 +144,13 @@ def main(argv=None) -> None:
         description="Train the SAiD model using BlendVOCA dataset (TPU-native)"
     )
     add_arguments(parser)
+    parser.add_argument("--compilation_cache_dir", type=str, default="",
+                        help="persistent XLA compile cache dir "
+                             "(default ~/.cache/said_tpu/jax_comp_cache; "
+                             "'none' disables)")
     args = parser.parse_args(argv)
-    configure_platform(getattr(args, "device", ""))
+    configure_platform(getattr(args, "device", ""),
+                       getattr(args, "compilation_cache_dir", ""))
 
     maybe_init_distributed()  # multi-host: no-op unless a coordinator is set
 

@@ -51,8 +51,13 @@ def main(argv=None) -> None:
     parser.add_argument("--val_repeat", type=int, default=10)
     parser.add_argument("--save_period", type=int, default=200)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--compilation_cache_dir", type=str, default="",
+                        help="persistent XLA compile cache dir "
+                             "(default ~/.cache/said_tpu/jax_comp_cache; "
+                             "'none' disables)")
     args = parser.parse_args(argv)
-    configure_platform(getattr(args, "device", ""))
+    configure_platform(getattr(args, "device", ""),
+                       getattr(args, "compilation_cache_dir", ""))
 
     model = BCVAE()
     rng = jax.random.PRNGKey(args.seed)
