@@ -67,26 +67,49 @@ def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
     stall. ``depth`` bounds the RAM held in flight. Exceptions raised by
     the producer re-raise at the consumer's next pull.
 
-    Meant for fully-consumed epoch iterations: abandoning the generator
-    early leaves the (daemon) producer thread parked on its bounded
-    queue until process exit, holding up to ``depth`` batches.
+    Abandoning the generator early (a ``break``, an exception in the
+    loop body, or garbage collection) CLOSES it, which signals the
+    producer to stop and drains the queue so the thread exits promptly
+    instead of parking forever on the bounded ``q.put`` with ``depth``
+    collated batches pinned (a long-lived process repeatedly abandoning
+    epochs would otherwise accumulate threads and memory).
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(pair) -> bool:
+        # bounded put that gives up once the consumer is gone
+        while not stop.is_set():
+            try:
+                q.put(pair, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker() -> None:
         try:
             for item in iterable:
-                q.put((True, item))
+                if not _put((True, item)):
+                    return
         except BaseException as e:  # propagate, don't kill the thread silently
-            q.put((False, e))
+            _put((False, e))
         else:
-            q.put((False, None))
+            _put((False, None))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        ok, val = q.get()
-        if not ok:
-            if val is not None:
-                raise val
-            return
-        yield val
+    try:
+        while True:
+            ok, val = q.get()
+            if not ok:
+                if val is not None:
+                    raise val
+                return
+            yield val
+    finally:
+        stop.set()
+        try:  # unblock a producer parked on a full queue
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

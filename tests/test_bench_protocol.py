@@ -20,6 +20,7 @@ EXPECTED_SCHEDULE = [
     "steps_per_sec_b32",
     "rtf_bucketed_mixed",
     "train_steps_per_sec",
+    "train_loss_drop_overfit300",
     "rtf_dpmpp25step_b1_60s",
     "sp_flash_on_chip_maxerr",
     "parity_mae_vs_torch",
@@ -29,6 +30,8 @@ EXPECTED_SCHEDULE = [
     "rtf_dpmpp25step_b1_360s",
     "rtf_1000step_streaming_b1_360s",
     "train_steps_per_sec_b1_360s",
+    # most expensive bonus line runs last: it starves first
+    "rtf_1000step_streaming_b1_1800s",
 ]
 
 # Every value-bearing label bench.py can emit (some runners emit several
@@ -48,8 +51,16 @@ EXPECTED_EMITTED = {
     "rtf_dpmpp25step_b1_60s",
     "rtf_dpmpp25step_b1_360s",
     "rtf_1000step_streaming_b1_360s",
+    "rtf_1000step_streaming_b1_1800s",
     "parity_mae_vs_torch",
     "sp_flash_on_chip_maxerr",
+    # round-5 evidence lines: bucketed median spread band, the analytic
+    # exact-mode ceiling companion, and the learning-dynamics metrics
+    "rtf_bucketed_mixed_spread",
+    "rtf_1000step_b1_360s_ceiling",
+    "train_loss_first_50step",
+    "train_loss_last_50step",
+    "train_loss_drop_overfit300",
 }
 
 

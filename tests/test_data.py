@@ -159,3 +159,41 @@ def test_prefetch_matches_direct_iteration_and_propagates_errors():
         for x in prefetch(boom(), depth=1):
             got.append(x)
     assert got == [1, 2]
+
+
+def test_prefetch_abandonment_releases_the_producer_thread():
+    """Abandoning the generator early (break / exception in the loop
+    body) must stop the producer thread and release its source — not
+    leave it parked forever on the bounded queue (depth batches pinned
+    per abandoned epoch in a long-lived process)."""
+    import gc
+    import threading
+    import time
+
+    from said_tpu.data.loader import prefetch
+
+    released = threading.Event()
+
+    def source():
+        try:
+            for i in range(10_000):
+                yield {"i": i}
+        finally:
+            released.set()
+
+    gen = prefetch(source(), depth=2)
+    assert next(gen)["i"] == 0
+    gen.close()  # what a for-loop break / loop-body exception triggers
+    gc.collect()
+    assert released.wait(timeout=5.0), "producer thread still parked"
+
+    # same through the natural consumer shape: a break inside a for-loop
+    released.clear()
+    for item in prefetch(source(), depth=2):
+        break
+    gc.collect()  # the abandoned generator's close() runs at collection
+    deadline = time.time() + 5.0
+    while not released.is_set() and time.time() < deadline:
+        gc.collect()
+        time.sleep(0.05)
+    assert released.is_set(), "producer thread still parked after break"

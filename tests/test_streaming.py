@@ -139,6 +139,52 @@ def test_streaming_validation(small_pipeline):
         )
 
 
+def test_hour_scale_compile_bound_and_every_seam(small_pipeline):
+    """The claims that make hour-scale streaming serving affordable,
+    pinned: stitching ≥4 windows costs exactly TWO denoise program
+    families (first window unmasked + ONE masked program shared by all
+    later windows) and ONE prepare program — so per-second compute is
+    constant and compile cost is O(1) in clip length — and the pinned
+    overlap lands bit-exactly at EVERY seam, not just the first."""
+    pipe = SAIDPipeline(small_pipeline.model, small_pipeline.params)  # fresh jit cache
+    total, w, o = 96, 24, 6  # starts 0,18,36,54,72 → 5 windows, 4 seams
+    wave = _wave(total, seed=9)
+    steps = dict(num_inference_steps=4, guidance_scale=2.0)
+
+    calls = []
+    orig = pipe.inference
+
+    def spy(*a, **kw):
+        res = orig(*a, **kw)
+        calls.append((kw.get("init_samples"), kw.get("mask"), res.result))
+        return res
+
+    pipe.inference = spy
+    try:
+        out = pipe.inference_streaming(
+            wave, window_frames=w, overlap_frames=o,
+            rng=jax.random.PRNGKey(17), **steps,
+        ).result
+    finally:
+        pipe.inference = orig
+    assert out.shape == (1, total, 32) and np.all(np.isfinite(out))
+    assert len(calls) == 5
+
+    denoise_keys = [k for k in pipe._jit_cache if k[0] == "denoise"]
+    prepare_keys = [k for k in pipe._jit_cache if k[0] == "prepare"]
+    assert len(denoise_keys) == 2, denoise_keys  # unmasked + masked, shared
+    assert len(prepare_keys) == 1, prepare_keys  # keyed on geometry only
+
+    # every seam: each later window's raw result is bit-exact on its
+    # pinned region (the stitched output then contains no discontinuity
+    # the model didn't generate)
+    assert all(c[0] is not None for c in calls[1:])
+    for init, mask, res in calls[1:]:
+        kept = int(mask[0, :, 0].sum())
+        assert kept >= o
+        np.testing.assert_array_equal(res[:, :kept], init[:, :kept])
+
+
 def test_streaming_dpmpp_solver(small_pipeline):
     """The seam contract holds under the DPM++ solver too (the mask
     path re-noises identically there; the stitched result must be
