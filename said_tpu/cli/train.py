@@ -244,18 +244,18 @@ def main(argv=None) -> None:
     state = create_train_state(config, params)
 
     if args.resume:
-        from said_tpu.core.checkpoint import restore_train_state
-
-        # Restore to host values, then re-place every leaf on the mesh:
-        # mesh-sharded leaves keep their sharding, everything else (e.g.
-        # the step counter, which orbax would otherwise pin to one
-        # device and clash with the sharded params) is mesh-replicated.
+        # Restore to host values (migrating pre-r4 full-tree layouts —
+        # see restore_train_state_any_layout), then re-place every leaf
+        # on the mesh: mesh-sharded leaves keep their sharding,
+        # everything else (e.g. the step counter, which orbax would
+        # otherwise pin to one device and clash with the sharded params)
+        # is mesh-replicated.
         from jax.sharding import NamedSharding
 
         from said_tpu.parallel.mesh import replicated
+        from said_tpu.train.said_train import restore_train_state_any_layout
 
-        host_target = jax.tree_util.tree_map(np.asarray, state)
-        restored = restore_train_state(args.resume, host_target)
+        restored = restore_train_state_any_layout(args.resume, state, config)
 
         def place(r, f):
             sh = getattr(f, "sharding", None)

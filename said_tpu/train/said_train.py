@@ -285,6 +285,71 @@ def said_loss(
     return loss, metrics
 
 
+def restore_train_state_any_layout(path: str, state: TrainState,
+                                   config: TrainConfig) -> TrainState:
+    """Restore an orbax train-state checkpoint in EITHER layout.
+
+    Current layout: ``opt_state``/``ema_params`` cover only the
+    trainable subset. Checkpoints saved before that change carried the
+    FULL tree (frozen encoder included: its EMA bit-equal to the params,
+    its optimizer state an ``optax.masked`` placeholder), so restoring
+    them against the current structure raises. This helper retries with
+    the legacy target and migrates: the redundant frozen subtrees are
+    dropped and every trainable leaf is carried over by tree path —
+    bit-identical resume semantics in both cases. Raises a clear error
+    if the checkpoint matches neither layout.
+    """
+    from said_tpu.core.checkpoint import restore_train_state
+
+    host = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    target = host(state)
+    try:
+        return restore_train_state(path, target)
+    except Exception as current_err:
+        tx = make_optimizer(config)
+        legacy_target = host(
+            state.replace(
+                opt_state=tx.init(state.params),
+                ema_params=(
+                    jax.tree_util.tree_map(jnp.asarray, state.params)
+                    if state.ema_params is not None
+                    else None
+                ),
+            )
+        )
+        try:
+            old = restore_train_state(path, legacy_target)
+        except Exception:
+            raise RuntimeError(
+                f"checkpoint at {path} matches neither the current "
+                "trainable-subset train-state layout nor the legacy "
+                f"full-tree layout (current-layout error: {current_err})"
+            ) from current_err
+
+        def fill_by_path(old_tree, template):
+            # same key paths for every trainable leaf in both layouts
+            # (dropping a sibling dict key doesn't change other paths)
+            old_map = {
+                jax.tree_util.keystr(p): v
+                for p, v in jax.tree_util.tree_flatten_with_path(old_tree)[0]
+            }
+            flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+            return jax.tree_util.tree_unflatten(
+                treedef, [old_map[jax.tree_util.keystr(p)] for p, _ in flat]
+            )
+
+        return TrainState(
+            step=old.step,
+            params=old.params,
+            opt_state=fill_by_path(old.opt_state, target.opt_state),
+            ema_params=(
+                trainable_subset(old.ema_params)
+                if old.ema_params is not None
+                else None
+            ),
+        )
+
+
 def make_train_step(model: SAID, schedule: DiffusionSchedule, config: TrainConfig):
     """Build the jittable (state, batch, rng) → (state, metrics) step."""
     tx = make_optimizer(config)

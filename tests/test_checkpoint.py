@@ -68,6 +68,99 @@ def test_orbax_train_state_round_trip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_legacy_full_tree_checkpoint_migrates_on_resume(tmp_path):
+    """Pre-r4 checkpoints carried opt_state/ema_params over the FULL
+    param tree (frozen encoder included). restore_train_state_any_layout
+    must load them into the current trainable-subset layout: trainable
+    leaves carried over bit-exactly, redundant frozen subtrees dropped,
+    and the migrated state must run a train step."""
+    from said_tpu.cli._common import init_said_params
+    from said_tpu.diffusion.schedule import DiffusionSchedule
+    from said_tpu.models.said import SAID, process_audio
+    from said_tpu.models.wav2vec2 import Wav2Vec2Config
+    from said_tpu.train.said_train import (
+        TrainConfig,
+        TrainState,
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        restore_train_state_any_layout,
+        trainable_subset,
+    )
+
+    cfg = Wav2Vec2Config(
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, output_hidden_size=32,
+    )
+    model = SAID(audio_config=cfg)
+    config = TrainConfig()
+    params = init_said_params(model, seed=0)
+
+    # the PRE-r4 layout, exactly as the old create_train_state built it:
+    # optimizer state over the full tree (optax.masked placeholders for
+    # the frozen encoder), EMA = a copy of the full tree
+    legacy = TrainState(
+        step=jnp.asarray(11, jnp.int32),
+        params=params,
+        opt_state=make_optimizer(config).init(params),
+        ema_params=jax.tree_util.tree_map(jnp.asarray, params),
+    )
+    path = save_train_state(str(tmp_path / "legacy"), legacy, 11)
+
+    fresh = create_train_state(config, init_said_params(model, seed=3))
+    restored = restore_train_state_any_layout(path, fresh, config)
+
+    assert int(restored.step) == 11
+    assert "audio_encoder" not in restored.ema_params
+    assert set(restored.ema_params) == set(trainable_subset(params))
+    # identical tree structure to the current layout
+    assert jax.tree_util.tree_structure(
+        restored.opt_state
+    ) == jax.tree_util.tree_structure(fresh.opt_state)
+    # every trainable leaf (params, EMA, optimizer) carried bit-exactly
+    for got, want in (
+        (restored.params, params),
+        (restored.ema_params, trainable_subset(params)),
+    ):
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(got)[0],
+            jax.tree_util.tree_flatten_with_path(want)[0],
+        ):
+            assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a CURRENT-layout checkpoint still restores unchanged through the
+    # same entry point
+    current = create_train_state(config, params).replace(
+        step=jnp.asarray(4, jnp.int32)
+    )
+    path2 = save_train_state(str(tmp_path / "current"), current, 4)
+    again = restore_train_state_any_layout(path2, fresh, config)
+    assert int(again.step) == 4
+
+    # ... and a garbage checkpoint raises the clear two-layout error
+    with pytest.raises(Exception, match="neither|Error|error"):
+        restore_train_state_any_layout(str(tmp_path / "nope"), fresh, config)
+
+    # the migrated state trains
+    schedule = DiffusionSchedule.create(model.diffusion_steps)
+    step_fn = jax.jit(make_train_step(model, schedule, config))
+    rng = np.random.default_rng(0)
+    batch = {
+        "waveform": jnp.asarray(
+            process_audio(rng.standard_normal((1, (16000 * 8) // 60)).astype(np.float32))
+        ),
+        "coeffs": jnp.asarray(rng.uniform(0, 1, (1, 8, 32)).astype(np.float32)),
+        "cond": jnp.ones((1,), bool),
+    }
+    restored = jax.tree_util.tree_map(jnp.asarray, restored)
+    new_state, metrics = step_fn(restored, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 12
+
+
 def test_said_export_import_round_trip():
     """Full SAID export → import must reproduce every parameter."""
     from said_tpu.cli._common import init_said_params
