@@ -26,7 +26,8 @@ class _FakeProc:
         raise AssertionError("fake child should not be killed")
 
 
-def _run_with_fakes(monkeypatch, budget_left, lines=("",)):
+def _run_with_fakes(monkeypatch, budget_left, lines=("",),
+                    name="some_metric"):
     captured = {}
 
     def fake_popen(cmd, stdout=None, stderr=None, env=None, text=None):
@@ -41,17 +42,37 @@ def _run_with_fakes(monkeypatch, budget_left, lines=("",)):
 
     monkeypatch.setattr(subprocess, "Popen", fake_popen)
     monkeypatch.setattr(threading, "Timer", fake_timer)
-    bench._run_isolated("some_metric", budget_left)
+    bench._run_isolated(name, budget_left)
     return captured
 
 
-def test_child_budget_floored_at_330s(monkeypatch):
+def test_flagship_child_budget_floored_at_330s(monkeypatch):
     # A starved remainder (e.g. 240 s left after a cold recompile) must
-    # not pass through: the most expensive child needs ~280 s warm.
-    cap = _run_with_fakes(monkeypatch, budget_left=50.0)
+    # not pass through to the FLAGSHIP child: it needs ~280 s warm.
+    cap = _run_with_fakes(
+        monkeypatch, budget_left=50.0, name=bench._FLOOR_METRIC
+    )
     assert float(cap["env"]["SAID_BENCH_BUDGET_S"]) == 330.0
     # the kill timer must match the floored budget, not the remainder
     assert cap["timeout"] == 330.0 + 120.0
+
+
+def test_non_flagship_child_is_not_floored(monkeypatch, capsys):
+    # Other risky children never get the floor: flooring each would let
+    # a nearly-exhausted run overshoot its budget by ~450 s per child.
+    # A workable remainder passes through unchanged ...
+    cap = _run_with_fakes(monkeypatch, budget_left=200.0)
+    assert float(cap["env"]["SAID_BENCH_BUDGET_S"]) == 200.0
+    capsys.readouterr()
+    # ... and a remainder below child-startup cost skips with an
+    # explicit line instead of spawning a doomed child.
+    before = list(bench._SKIPS)
+    try:
+        bench._run_isolated("some_metric", 30.0)
+        out = capsys.readouterr().out
+        assert "time_budget" in out and "some_metric" in out
+    finally:
+        bench._SKIPS[:] = before
 
 
 def test_child_budget_passes_through_when_ample(monkeypatch):
