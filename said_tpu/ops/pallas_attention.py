@@ -269,25 +269,19 @@ def _flash_tpu_packed_blocked(q, k, v, lens_b=None, num_heads: int = 6,
             m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        if has_lens:
-            row_len = lens_ref[pl.program_id(0)]
-            q_start = pl.program_id(1) * block_q
-            run = jnp.logical_and(q_start < row_len, ki * block_k < row_len)
-        else:
-            row_len = s
-            run = True
-
-        @pl.when(run)
-        def _update():
+        def _head_updates(mask_limit):
+            """One online-softmax update over this key block for every
+            head. ``mask_limit``: traced column bound to mask scores at
+            (None = every column of this block is real — no iota, no
+            per-head where: at T=21600 that masking apparatus costs two
+            extra VPU passes over each (block_q, block_k) f32 score
+            block, paid 6 heads × every block when only the LAST block
+            straddles the static end)."""
             qb = q_ref[0]  # (block_q, h·d), pre-scaled
             kb = k_ref[0]  # (block_k, h·d)
             vb = v_ref[0]  # (block_k, h·(d+1)) ones-augmented per head
             col = None
-            if has_lens:
-                col = ki * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, (qb.shape[0], block_k), 1
-                )
-            elif static_tail:
+            if mask_limit is not None:
                 col = ki * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, (qb.shape[0], block_k), 1
                 )
@@ -298,13 +292,8 @@ def _flash_tpu_packed_blocked(q, k, v, lens_b=None, num_heads: int = 6,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                if has_lens:
-                    s2 = jnp.where(col < row_len, s2, -jnp.inf)
-                elif static_tail:
-                    # only the last key block straddles the static end
-                    s2 = jnp.where(
-                        jnp.logical_or(ki != last_k, col < s), s2, -jnp.inf
-                    )
+                if mask_limit is not None:
+                    s2 = jnp.where(col < mask_limit, s2, -jnp.inf)
                 m_prev = m_scr[hh]
                 m_new = jnp.maximum(m_prev, s2.max(axis=-1, keepdims=True))
                 p = jnp.exp2(s2 - m_new)
@@ -316,6 +305,30 @@ def _flash_tpu_packed_blocked(q, k, v, lens_b=None, num_heads: int = 6,
                     preferred_element_type=jnp.float32,
                 )
                 m_scr[hh] = m_new
+
+        if has_lens:
+            row_len = lens_ref[pl.program_id(0)]
+            q_start = pl.program_id(1) * block_q
+            run = jnp.logical_and(q_start < row_len, ki * block_k < row_len)
+
+            @pl.when(run)
+            def _update():
+                _head_updates(row_len)
+
+        elif static_tail:
+            # only the last key block straddles the static end: branch so
+            # the other num_k−1 blocks skip the masking entirely —
+            # bit-identical (their mask was all-True)
+            @pl.when(ki != last_k)
+            def _update_clean():
+                _head_updates(None)
+
+            @pl.when(ki == last_k)
+            def _update_tail():
+                _head_updates(s)
+
+        else:
+            _head_updates(None)
 
         @pl.when(ki == last_k)
         def _finalize():
@@ -422,6 +435,14 @@ def _blocked_blocks(inner: int, h: int, itemsize: int):
     bk = max(128, min(512, ((2 * 1024 * 1024) // kv_row) // 128 * 128))
     bq = max(128, min(256, ((1 * 1024 * 1024) // (inner * itemsize * 2)) // 128 * 128))
     return bq, bk
+
+
+# Pad-minimizing block_k: MEASURED NO-GO (round 5, tools/attn_tail_probe
+# on the real chip at T=21600). Shrinking block_k 2048 → 1664 cuts the
+# key-axis padding waste 4.3% → 0.15%, yet the kernel measures
+# CONSISTENTLY slower (median 19.03 vs 17.94 ms, 0/6 paired interleaved
+# rounds): at this shape the wider block's fewer grid steps / better
+# MXU pipelining outweigh 4% extra columns. Keep the tuned 2048.
 
 
 def _dense_flat(q, k, v, num_heads: int, lengths=None):
