@@ -757,9 +757,11 @@ def main() -> None:
                 rng=jax.random.PRNGKey(seed),
             )
 
-        t0 = time.perf_counter()
-        run(0)  # warm (programs shared with the 360 s streaming metric)
-        _note(f"  warm {time.perf_counter() - t0:.1f}s")
+        # single timed run, no warm pass: in a full run every program is
+        # warm already (m_streaming_6m just ran the same window
+        # geometry), and at ~110 s of device time per pass a redundant
+        # warm run is the single most expensive thing the bench could do
+        # with its remaining budget
         t0 = time.perf_counter()
         run(1)
         _emit(
