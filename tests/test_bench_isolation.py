@@ -57,6 +57,23 @@ def test_flagship_child_budget_floored_at_330s(monkeypatch):
     assert cap["timeout"] == 330.0 + 120.0
 
 
+def test_cold_world_scales_flagship_floor_and_timer(monkeypatch):
+    # After a tunnel restart every cache key changes, so the flagship
+    # child faces a ~750 s cold chain compile — the warm-world 330 s
+    # floor (and 900 s kill cap) would guarantee a rc=-9 kill. Once a
+    # headline-class compile proves the world cold, both must scale.
+    before = list(bench._COLD_WORLD)
+    bench._COLD_WORLD[:] = [599.0]
+    try:
+        cap = _run_with_fakes(
+            monkeypatch, budget_left=50.0, name=bench._FLOOR_METRIC
+        )
+        assert float(cap["env"]["SAID_BENCH_BUDGET_S"]) == 1150.0
+        assert cap["timeout"] == min(1150.0 + 120.0, 1400.0)
+    finally:
+        bench._COLD_WORLD[:] = before
+
+
 def test_non_flagship_child_is_not_floored(monkeypatch, capsys):
     # Other risky children never get the floor: flooring each would let
     # a nearly-exhausted run overshoot its budget by ~450 s per child.

@@ -23,10 +23,11 @@ EXPECTED_SCHEDULE = [
     "train_loss_drop_overfit300",
     "rtf_dpmpp25step_b1_60s",
     "sp_flash_on_chip_maxerr",
-    "parity_mae_vs_torch",
-    # flagship 6-minute metric deliberately precedes the cheaper 6-minute
-    # variants: under budget pressure the bonus lines starve, not it
+    # flagship 6-minute metric deliberately precedes the other isolated
+    # metric (parity) and the cheaper 6-minute variants: under budget
+    # pressure the bonus lines starve, not it
     "rtf_1000step_b1_360s",
+    "parity_mae_vs_torch",
     "rtf_dpmpp25step_b1_360s",
     "rtf_1000step_streaming_b1_360s",
     "train_steps_per_sec_b1_360s",
