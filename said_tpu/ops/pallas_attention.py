@@ -520,6 +520,20 @@ def _chunked_attn_bwd(q, k, v, o, g, num_heads: int, lengths=None,
     d = inner // h
     scale = d**-0.5
 
+    # Matmul precision mirrors the FORWARD kernel: bf16 inputs keep bf16
+    # MXU operands with f32 accumulation (preferred_element_type) and
+    # f32 softmax statistics — the MXU runs f32 matmuls at ~1/4 the
+    # bf16 rate, so a bf16 train step shouldn't pay f32 rate on five
+    # score-sized einsums per block. Measured NEUTRAL on the 6-minute
+    # train metric (0.809 steps/s both ways — the step's cost lives in
+    # the rematerialized forward kernels, not these einsums), kept for
+    # rate-consistency with the forward and for regimes where the
+    # backward share grows (larger block_k, deeper stacks). f32 inputs
+    # (CPU tests, full-precision mode) keep full f32 compute —
+    # unchanged numerics.
+    mm_dtype = in_dtype if in_dtype == jnp.bfloat16 else jnp.float32
+    ein = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
+
     # read the module global at CALL time (tests tune it), and never pad
     # the key axis past one lane-aligned block
     if block_k is None:
@@ -528,20 +542,28 @@ def _chunked_attn_bwd(q, k, v, o, g, num_heads: int, lengths=None,
     s_pad = _round_up(s, block_k)
     nb = s_pad // block_k
 
-    def heads(x, n):
-        return x.astype(jnp.float32).reshape(b, n, h, d)
+    def heads(x, n, dt=jnp.float32):
+        return x.astype(dt).reshape(b, n, h, d)
 
-    qh, gh, oh = heads(q, t), heads(g, t), heads(o, t)
+    qh, gh = heads(q, t, mm_dtype), heads(g, t, mm_dtype)
+    # delta needs f32 elementwise precision (it subtracts from dp)
+    delta = (
+        (heads(g, t) * heads(o, t)).sum(axis=-1).transpose(0, 2, 1)
+    )  # (B, H, T)
     kp = jnp.pad(k, ((0, 0), (0, s_pad - s), (0, 0))) if s_pad > s else k
     vp = jnp.pad(v, ((0, 0), (0, s_pad - s), (0, 0))) if s_pad > s else v
     # key blocks as the scan axis: (nb, B, block_k, H, D)
-    kh = heads(kp, s_pad).reshape(b, nb, block_k, h, d).transpose(1, 0, 2, 3, 4)
-    vh = heads(vp, s_pad).reshape(b, nb, block_k, h, d).transpose(1, 0, 2, 3, 4)
+    kh = heads(kp, s_pad, mm_dtype).reshape(
+        b, nb, block_k, h, d
+    ).transpose(1, 0, 2, 3, 4)
+    vh = heads(vp, s_pad, mm_dtype).reshape(
+        b, nb, block_k, h, d
+    ).transpose(1, 0, 2, 3, 4)
 
     lens = None if lengths is None else jnp.asarray(lengths, jnp.int32)
 
     def block_scores(kb, j):
-        sc = jnp.einsum("bthd,bshd->bhts", qh, kb) * scale
+        sc = ein("bthd,bshd->bhts", qh, kb) * scale  # f32 accum
         col = j * block_k + jnp.arange(block_k)
         limit = s if lens is None else lens[:, None]
         valid = col[None, :] < limit  # (B, block_k) or (1, block_k)
@@ -562,17 +584,15 @@ def _chunked_attn_bwd(q, k, v, o, g, num_heads: int, lengths=None,
     (m_fin, l_fin), _ = jax.lax.scan(lse_step, (m0, l0), (kh, jnp.arange(nb)))
     lse = m_fin + jnp.log(l_fin)  # (B, H, T)
 
-    delta = (gh * oh).sum(axis=-1).transpose(0, 2, 1)  # (B, H, T)
-
     def grad_step(dq_acc, xs):
         kb, vb, j = xs
         sc = block_scores(kb, j)
-        p = jnp.exp(sc - lse[..., None])  # (B, H, T, block_k)
-        dv_j = jnp.einsum("bhts,bthd->bshd", p, gh)
-        dp = jnp.einsum("bthd,bshd->bhts", gh, vb)
-        ds = p * (dp - delta[..., None]) * scale
-        dq_acc = dq_acc + jnp.einsum("bhts,bshd->bthd", ds, kb)
-        dk_j = jnp.einsum("bhts,bthd->bshd", ds, qh)
+        p = jnp.exp(sc - lse[..., None])  # (B, H, T, block_k) f32
+        dv_j = ein("bhts,bthd->bshd", p.astype(mm_dtype), gh)
+        dp = ein("bthd,bshd->bhts", gh, vb)  # f32 accum
+        ds = (p * (dp - delta[..., None]) * scale).astype(mm_dtype)
+        dq_acc = dq_acc + ein("bhts,bshd->bthd", ds, kb)
+        dk_j = ein("bhts,bthd->bshd", ds, qh)
         return dq_acc, (dk_j, dv_j)
 
     dq0 = jnp.zeros((b, t, h, d), jnp.float32)

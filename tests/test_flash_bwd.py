@@ -57,6 +57,39 @@ def test_chunked_bwd_matches_dense_vjp(s, use_lens):
         )
 
 
+def test_chunked_bwd_bf16_mixed_precision_grads():
+    """bf16 inputs switch the blockwise backward to bf16 MXU operands
+    with f32 accumulation and f32 softmax statistics — the same
+    arrangement as the forward kernel (f32 matmuls run at ~1/4 the bf16
+    rate on the MXU, and the all-f32 backward dominated the 6-minute
+    train step). Grads must match the full-f32 dense reference to
+    bf16-class tolerance."""
+    b, t, s = 2, 64, 130
+    qf = _rand((b, t, INNER), 10)
+    kf, vf = _rand((b, s, INNER), 11), _rand((b, s, INNER), 12)
+    gf = _rand((b, t, INNER), 13)
+    want = _dense_grads(qf, kf, vf, gf)
+
+    q, k, v, g = (x.astype(jnp.bfloat16) for x in (qf, kf, vf, gf))
+    o = _dense_flat(qf, kf, vf, H).astype(jnp.bfloat16)
+    got = _chunked_attn_bwd(q, k, v, o, g, H, block_k=32)
+    for got_i, want_i, name in zip(got, want, "q k v".split()):
+        got_i = np.asarray(got_i, np.float32)
+        want_i = np.asarray(want_i)
+        assert got_i.dtype == np.float32 and got_i.shape == want_i.shape
+        # bf16 has ~3 decimal digits; compare on the grad's own scale
+        scale = np.abs(want_i).max()
+        np.testing.assert_allclose(
+            got_i / scale, want_i / scale, atol=3e-2, err_msg=f"d{name}"
+        )
+        # and the direction must agree tightly (cosine similarity)
+        cos = float(
+            (got_i * want_i).sum()
+            / (np.linalg.norm(got_i) * np.linalg.norm(want_i))
+        )
+        assert cos > 0.999, (name, cos)
+
+
 def test_flash_flat_grad_routes_blockwise(monkeypatch):
     """End-to-end: jax.grad through flash_attention_flat takes the
     chunked path (threshold forced low) and matches the dense grads."""
