@@ -66,6 +66,20 @@ class Wav2Vec2Config:
             length = (length - k) // s + 1
         return length
 
+    @classmethod
+    def tiny(cls) -> "Wav2Vec2Config":
+        """The canonical tiny encoder used by fast tests AND the bench's
+        learning-evidence metric. One definition so the CPU-pinned
+        overfit thresholds (tests/test_overfit.py) and the TPU-emitted
+        ``train_loss_drop_overfit300`` provably run the same dynamics —
+        duplicated literals would drift silently."""
+        return cls(
+            conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+            hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=64, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4, output_hidden_size=32,
+        )
+
 
 class _FusedConvGELU(nn.Module):
     """Param holder for the fused stride-2 conv+GELU kernel.

@@ -105,6 +105,33 @@ def test_child_env_marks_child_and_skips_probe(monkeypatch):
     assert "SAID_BENCH_FORCE_ISOLATE" not in cap["env"]
 
 
+def test_child_skip_lines_reach_the_run_summary(monkeypatch, capsys):
+    # A metric that fails INSIDE a child is caught by the child's own
+    # metric loop, which prints the skip line and exits rc=0 — the
+    # parent must fold that skip into _SKIPS or bench_run_summary
+    # claims all-green after an isolated metric silently failed.
+    before = list(bench._SKIPS)
+    line = json.dumps(
+        {"metric": "parity_mae_vs_torch", "skipped": "error: boom"}
+    )
+    try:
+        _run_with_fakes(monkeypatch, budget_left=400.0, lines=[line + "\n"])
+        assert "parity_mae_vs_torch" in bench._SKIPS
+        assert line in capsys.readouterr().out
+    finally:
+        bench._SKIPS[:] = before
+
+
+def test_worst_child_rc_semantics():
+    # zero only when every child exited clean; positive codes must not
+    # be masked by a clean sibling; signal kills surface by magnitude
+    assert bench._worst_rc([]) == 0
+    assert bench._worst_rc([0, 0]) == 0
+    assert bench._worst_rc([0, 1]) == 1
+    assert bench._worst_rc([-9, 0]) == -9
+    assert bench._worst_rc([-9, 1]) == -9
+
+
 def test_child_value_lines_reach_the_closing_reemit(monkeypatch, capsys):
     # Value lines streamed from a child are recorded in _VALUE_LINES so
     # the closing headline re-emit (driver 'parsed' field protection)

@@ -59,8 +59,11 @@ EXPECTED_EMITTED = {
     # exact-mode ceiling companion, and the learning-dynamics metrics
     "rtf_bucketed_mixed_spread",
     "rtf_1000step_b1_360s_ceiling",
-    "train_loss_first_50step",
-    "train_loss_last_50step",
+    # head/tail means of the 50-step production-lr chain (5 steps each
+    # on TPU; the names carry the averaging so a record reader doesn't
+    # mistake them for 50-step averages)
+    "train_loss_first5_of50",
+    "train_loss_last5_of50",
     "train_loss_drop_overfit300",
 }
 

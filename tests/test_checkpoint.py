@@ -88,12 +88,7 @@ def test_legacy_full_tree_checkpoint_migrates_on_resume(tmp_path):
         trainable_subset,
     )
 
-    cfg = Wav2Vec2Config(
-        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
-        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
-        intermediate_size=64, num_conv_pos_embeddings=16,
-        num_conv_pos_embedding_groups=4, output_hidden_size=32,
-    )
+    cfg = Wav2Vec2Config.tiny()
     model = SAID(audio_config=cfg)
     config = TrainConfig()
     params = init_said_params(model, seed=0)

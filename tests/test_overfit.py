@@ -25,18 +25,9 @@ from said_tpu.models.vae import BCVAE
 from said_tpu.models.wav2vec2 import Wav2Vec2Config
 from said_tpu.train import said_train, vae_train
 
-TINY = Wav2Vec2Config(
-    conv_dim=(16, 16),
-    conv_stride=(5, 2),
-    conv_kernel=(10, 3),
-    hidden_size=32,
-    num_hidden_layers=1,
-    num_attention_heads=2,
-    intermediate_size=64,
-    num_conv_pos_embeddings=16,
-    num_conv_pos_embedding_groups=4,
-    output_hidden_size=32,
-)
+# the SAME config object bench.py's train_loss_drop_overfit300 uses —
+# these thresholds pin the dynamics that metric reports
+TINY = Wav2Vec2Config.tiny()
 
 
 def test_said_trainer_overfits_one_batch():
