@@ -14,12 +14,24 @@ worth a production change:
            (mathematically identical result when no row under/overflows;
            deletes the rowmax pass, the running-max scratch, and the
            accumulator alpha-rescale).
-  bf16s  — the score block lives in BF16: QK^T stores bf16, mask/max/
-           exp2 run on half the bytes, and exp2's output feeds PV with
-           no cast pass. (Accuracy cost measured below: bf16 scores
-           round at ~0.4% relative BEFORE exp2.)
+  bf16s  — the score block lives in BF16: QK^T accumulates f32 on the
+           MXU (Mosaic requires a 32-bit matmul acc) but is downcast
+           immediately, so mask/max/exp2 run on half the bytes and
+           exp2's output feeds PV with no separate cast pass.
+           (Accuracy cost measured below: bf16 scores round at ~0.4%
+           relative BEFORE exp2.)
   noexp  — exp2 replaced by identity (p = s2 - m_new): NOT semantically
            valid, times the transcendental's marginal cost only.
+  bound  — the PRODUCTION-SAFE nomax candidate: the exp2 shift is a
+           per-row Cauchy-Schwarz bound M_i = ||q̃_i||·max_j||k_j||
+           (per head, computed OUTSIDE the kernel in O(T·d) and fed in
+           as a (B, T, H) input) instead of the online running max —
+           mathematically identical by softmax shift-invariance, and
+           M_i >= true row max so exp2 can never overflow; the exp2
+           argument is clamped at -80 so the ones-column denominator
+           can never underflow to 0 (no NaN on ANY input). Deletes the
+           rowmax pass, the running-max scratch, and the alpha rescale,
+           exactly like nomax.
 
 Timing: slope method (two scan lengths, launch overhead cancels),
 interleaved A/B per round, medians over 6 rounds — the tunnel's ±10%
@@ -53,12 +65,35 @@ BQ, BK = 512, 2048
 _LOG2E = pa._LOG2E
 
 
+def qk_shift_bound(q, k, num_heads: int):
+    """Per-row, per-head upper bound on the exp2-folded scores:
+    M[b,t,h] = ||q̃[b,t,h,:]|| · max_s ||k[b,s,h,:]|| + 1, computed from
+    the POST-bf16-rounding tensors (what the MXU actually multiplies) so
+    Cauchy-Schwarz holds for the realized products; +1 absorbs the f32
+    accumulation slop. O(T·d) work, fused by XLA."""
+    import math as _math
+
+    b, t, inner = q.shape
+    h = num_heads
+    d = inner // h
+    fold = d**-0.5 * _math.log2(_math.e)
+    qf = (q.astype(jnp.float32) * fold).astype(q.dtype)
+    qn = jnp.linalg.norm(
+        qf.astype(jnp.float32).reshape(b, t, h, d), axis=-1
+    )
+    kn = jnp.linalg.norm(
+        k.astype(jnp.float32).reshape(b, k.shape[1], h, d), axis=-1
+    ).max(axis=1)
+    return qn * kn[:, None, :] + 1.0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("variant", "num_heads", "block_q", "block_k",
                      "interpret"),
 )
-def blocked_variant(q, k, v, variant: str = "prod", num_heads: int = 6,
+def blocked_variant(q, k, v, m_bound=None, variant: str = "prod",
+                    num_heads: int = 6,
                     block_q: int = 512, block_k: int = 2048,
                     interpret: bool = False):
     """`_flash_tpu_packed_blocked` with one structural knob per variant.
@@ -89,6 +124,8 @@ def blocked_variant(q, k, v, variant: str = "prod", num_heads: int = 6,
     ).reshape(b, s, h * (d + 1))
     if t_pad > t:
         qs = jnp.pad(qs, ((0, 0), (0, t_pad - t), (0, 0)))
+        if m_bound is not None:
+            m_bound = jnp.pad(m_bound, ((0, 0), (0, t_pad - t), (0, 0)))
     if s_pad > s:
         k = jnp.pad(k, ((0, 0), (0, s_pad - s), (0, 0)))
         va = jnp.pad(va, ((0, 0), (0, s_pad - s), (0, 0)))
@@ -98,12 +135,12 @@ def blocked_variant(q, k, v, variant: str = "prod", num_heads: int = 6,
     last_k = num_k - 1
     static_tail = s_pad > s
 
-    def body(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr):
+    def body(q_ref, k_ref, v_ref, m_ref, o_ref, m_scr, acc_scr):
         ki = pl.program_id(2)
 
         @pl.when(ki == 0)
         def _init():
-            if variant != "nomax":
+            if variant not in ("nomax", "bound"):
                 m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -121,8 +158,27 @@ def blocked_variant(q, k, v, variant: str = "prod", num_heads: int = 6,
                     qb[:, hh * d:(hh + 1) * d],
                     kb[:, hh * d:(hh + 1) * d],
                     dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=score_dtype,
-                )
+                    # Mosaic requires a 32-bit matmul accumulator; the
+                    # bf16s variant downcasts the score block right at
+                    # the MXU boundary instead
+                    preferred_element_type=jnp.float32,
+                ).astype(score_dtype)
+                if variant == "bound":
+                    # shift by the per-row bound (masking moves AFTER
+                    # exp2 as a where-zero: -inf would clamp UP to -80)
+                    shifted = jnp.maximum(
+                        s2 - m_ref[0][:, hh:hh + 1], -80.0
+                    )
+                    p = jnp.exp2(shifted)
+                    if mask_limit is not None:
+                        p = jnp.where(col < mask_limit, p, 0.0)
+                    acc_scr[hh] = acc_scr[hh] + jax.lax.dot_general(
+                        p.astype(vb.dtype),
+                        vb[:, hh * (d + 1):(hh + 1) * (d + 1)],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    continue
                 if mask_limit is not None:
                     s2 = jnp.where(col < mask_limit, s2,
                                    jnp.asarray(-jnp.inf, score_dtype))
@@ -173,16 +229,28 @@ def blocked_variant(q, k, v, variant: str = "prod", num_heads: int = 6,
                 ).astype(o_ref.dtype)
 
     grid = (b, num_q, num_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, inner), lambda bi, qi, ki: (bi, qi, 0)),
+        pl.BlockSpec((1, block_k, inner), lambda bi, qi, ki: (bi, ki, 0)),
+        pl.BlockSpec(
+            (1, block_k, h * (d + 1)), lambda bi, qi, ki: (bi, ki, 0)
+        ),
+    ]
+    inputs = [qs, k, va]
+    if variant == "bound":
+        in_specs.append(
+            pl.BlockSpec((1, block_q, h), lambda bi, qi, ki: (bi, qi, 0))
+        )
+        inputs.append(m_bound.astype(jnp.float32))
+        kernel = body
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr):
+            body(q_ref, k_ref, v_ref, None, o_ref, m_scr, acc_scr)
+
     out = pl.pallas_call(
-        body,
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, inner), lambda bi, qi, ki: (bi, qi, 0)),
-            pl.BlockSpec((1, block_k, inner), lambda bi, qi, ki: (bi, ki, 0)),
-            pl.BlockSpec(
-                (1, block_k, h * (d + 1)), lambda bi, qi, ki: (bi, ki, 0)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, block_q, inner), lambda bi, qi, ki: (bi, qi, 0)
         ),
@@ -201,7 +269,7 @@ def blocked_variant(q, k, v, variant: str = "prod", num_heads: int = 6,
             transcendentals=b * h * t_pad * s_pad,
         ),
         interpret=interpret,
-    )(qs, k, va)
+    )(*inputs)
     return out[:, :t]
 
 
@@ -212,6 +280,14 @@ def make_loop(variant: str, iters: int):
             if variant == "prod":
                 o = pa._flash_tpu_packed_blocked(
                     carry, k, v, num_heads=H, block_q=BQ, block_k=BK
+                )
+            elif variant == "bound":
+                # the bound computation is part of what production
+                # would pay per call — keep it inside the timed body
+                m = qk_shift_bound(carry, k, H)
+                o = blocked_variant(
+                    carry, k, v, m, variant="bound", num_heads=H,
+                    block_q=BQ, block_k=BK,
                 )
             else:
                 o = blocked_variant(
@@ -232,7 +308,7 @@ def main() -> None:
     k = jax.device_put(rng.standard_normal((B, T, INNER)).astype(jnp.bfloat16))
     v = jax.device_put(rng.standard_normal((B, T, INNER)).astype(jnp.bfloat16))
 
-    variants = ["prod", "nomax", "bf16s", "noexp"]
+    variants = ["prod", "nomax", "bf16s", "noexp", "bound"]
 
     # ---- accuracy first (also compiles + warms the T=21600 programs)
     prod_out = np.asarray(
@@ -242,9 +318,10 @@ def main() -> None:
     )
     print("accuracy vs production kernel @ T=21600 (bf16 in/out):",
           flush=True)
-    for vr in ("nomax", "bf16s"):
+    for vr in ("nomax", "bf16s", "bound"):
+        m = qk_shift_bound(q, k, H) if vr == "bound" else None
         o = np.asarray(
-            blocked_variant(q, k, v, variant=vr, num_heads=H,
+            blocked_variant(q, k, v, m, variant=vr, num_heads=H,
                             block_q=BQ, block_k=BK).astype(jnp.float32)
         )
         print(f"  {vr}: max|Δ| = {np.abs(o - prod_out).max():.3e}",
@@ -260,13 +337,14 @@ def main() -> None:
         )
     )
     print(f"accuracy vs f32 dense @ T={t_small}:", flush=True)
-    for vr in ("prod", "nomax", "bf16s"):
+    for vr in ("prod", "nomax", "bf16s", "bound"):
         if vr == "prod":
             o = pa._flash_tpu_packed_blocked(
                 qs, ks, vs, num_heads=H, block_q=BQ, block_k=BK
             )
         else:
-            o = blocked_variant(qs, ks, vs, variant=vr, num_heads=H,
+            m = qk_shift_bound(qs, ks, H) if vr == "bound" else None
+            o = blocked_variant(qs, ks, vs, m, variant=vr, num_heads=H,
                                 block_q=BQ, block_k=BK)
         o = np.asarray(o.astype(jnp.float32))
         print(f"  {vr}: max|Δ| = {np.abs(o - dense).max():.3e}", flush=True)
