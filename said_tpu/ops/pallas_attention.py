@@ -34,10 +34,13 @@ Kernels behind size-based routers. The production entry is
 - ``_flash_tpu_packed`` — whole key axis in VMEM per grid step, heads
   as static lane slices (zero caller-side transposes). Fastest up to
   mid lengths (scores block (block_q, S) must fit VMEM).
-- ``_flash_tpu_packed_blocked`` — same layout, online-softmax over a
-  (batch, q, k) grid; per-head float32 running-max / ones-augmented
-  accumulator scratch slabs carry across the sequential key axis, so
-  VMEM usage is independent of S. The >4-minute-clip path.
+- ``_flash_tpu_packed_blocked`` — same layout, MAX-FREE blocked
+  accumulation over a (batch, q, k) grid: the exp2 shift is a
+  precomputed per-row bound (``_exp2_shift_bound``) instead of an online
+  running max, deleting the per-block rowmax VPU pass, the max scratch,
+  and the alpha rescale (measured 1.10x at T=21600); a per-head
+  ones-augmented f32 accumulator slab carries across the sequential key
+  axis, so VMEM usage is independent of S. The >4-minute-clip path.
 
 ``flash_attention`` is a thin (B, T, H, D) convenience wrapper over the
 same flat router (the head-merging reshape is free).
@@ -75,6 +78,105 @@ def _dense_reference(q, k, v, lengths=None):
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+# --- exp2-shift bound for the max-free blocked kernel -------------------
+#
+# The blocked kernel's headroom is NOT the matmuls (bf16 QK^T alone
+# measures ~87 TFLOP/s at T=21600 vs ~40 effective for the full kernel —
+# tools/int8_qk_probe.py): it is the VPU passes over each
+# (block_q, block_k) f32 score block. The biggest of those is the online
+# rowmax (plus its running-max scratch and the accumulator alpha-rescale).
+# tools/vpu_probe.py measured deleting it at 1.10x on-chip (6/6 paired
+# interleaved rounds), with the exp2 shift coming from a per-row bound
+# computed OUTSIDE the kernel in O(T·d) instead of the running max —
+# mathematically identical by softmax shift-invariance.
+#
+# Shift construction (production-safe by design, not by plausibility):
+#
+#   A[b,t,h] = min( M,  L + _SHIFT_SLACK )
+#   M = ||q̃_t|| · max_j ||k_j|| + 1     (Cauchy–Schwarz upper bound on
+#                                         every exp2-folded score; +1
+#                                         absorbs f32 accumulation slop)
+#   L = max over LANDMARK keys of q̃_t·k_j  (exact scores at a strided
+#        subset + the max-norm key; a LOWER bound on the true row max)
+#
+# and in-kernel  p = exp2(max(s2 − A, −_SHIFT_CLAMP)), with key-padding
+# masks applied AFTER exp2 as a where-zero (−inf must never meet the
+# clamp). Why this is safe on ANY input:
+#
+#   * accuracy, unconditionally: A ≤ truemax + _SHIFT_SLACK always
+#     (L ≤ truemax, and the M branch is only taken when M ≤ L+SLACK
+#     ≤ truemax+SLACK). An entry only clamps when it sits more than
+#     (CLAMP − SLACK) = 56 log2 units below the true max, i.e. its true
+#     softmax weight is < 2^−56; clamping raises it to at most
+#     2^−CLAMP/denom ≤ 2^(SLACK−CLAMP) = 2^−56 of the total — summed over
+#     ≤ 2^16 keys the distortion is ≤ 2^−40, far below bf16 output
+#     rounding. A naive bound-only shift (no L branch) would instead
+#     SILENTLY degrade toward uniform attention whenever the CS bound is
+#     ≳ clamp-loose — e.g. one outlier-norm key on a trained model.
+#   * no overflow in the exact region: p ≤ 2^(truemax−A); the L branch
+#     keeps truemax−A ≤ truemax−L. Overflow (loud Inf/NaN, never silent)
+#     requires the true max score to tower > ~95 log2 units (≈66 nats)
+#     above EVERY landmark score while its key is neither a landmark nor
+#     the max-norm key — softmax at such logit scales is a hard max with
+#     astronomically peaked weights, far outside any trained regime.
+#   * the clamp floor keeps the ones-column denominator strictly
+#     positive (each unmasked p ≥ 2^−120, still f32/bf16-normal), so no
+#     0/0 on any input.
+#
+# tests/test_pallas_kernel.py pins the adversarial cases (landmark-missed
+# outlier key, max-norm outlier, garbage beyond runtime lengths).
+_SHIFT_SLACK = 64.0
+_SHIFT_CLAMP = -120.0
+_LANDMARK_STRIDE = 256
+
+
+def _exp2_shift_bound(qs, k, num_heads: int, lengths=None):
+    """Per-row exp2 shift A (B, T, H) — see the derivation above.
+
+    ``qs`` is the PRE-FOLDED query (softmax scale and log2e already
+    multiplied in, rounded to the kernel's input dtype — the norms must
+    bound what the MXU actually multiplies). ``lengths`` (B,) masks
+    landmark/norm candidates beyond each row's real key count so padding
+    garbage can never loosen OR tighten the shift; key 0 is always a
+    landmark, so any row with length ≥ 1 has a finite L.
+    """
+    b, t, inner = qs.shape
+    s = k.shape[1]
+    h = num_heads
+    d = inner // h
+    qf = qs.astype(jnp.float32).reshape(b, t, h, d)
+    kf = k.astype(jnp.float32).reshape(b, s, h, d)
+    kn = jnp.linalg.norm(kf, axis=-1)  # (b, s, h)
+    if lengths is not None:
+        valid = (
+            jnp.arange(s)[None, :] < jnp.asarray(lengths, jnp.int32)[:, None]
+        )
+        kn = jnp.where(valid[:, :, None], kn, 0.0)
+    m = jnp.linalg.norm(qf, axis=-1) * kn.max(axis=1)[:, None, :] + 1.0
+
+    idx = jnp.arange(0, s, _LANDMARK_STRIDE)
+    kl = kf[:, idx]  # (b, nl, h, d) strided landmarks
+    # + the max-norm key per (b, h): the one key a norm-driven outlier
+    # regime is guaranteed to contain
+    jmax = kn.argmax(axis=1)  # (b, h)
+    kmax = jnp.take_along_axis(
+        kf, jmax[:, None, :, None].astype(jnp.int32), axis=1
+    )  # (b, 1, h, d)
+    sl = jnp.einsum(
+        "bthd,bshd->bths", qf, jnp.concatenate([kl, kmax], axis=1),
+        preferred_element_type=jnp.float32,
+    )
+    if lengths is not None:
+        lv = idx[None, :] < jnp.asarray(lengths, jnp.int32)[:, None]
+        lv = jnp.concatenate(
+            [lv, jnp.ones((b, 1), bool)], axis=1
+        )  # max-norm key is valid by construction (masked norms)
+        sl = jnp.where(lv[:, None, None, :], sl, -jnp.inf)
+    a = jnp.minimum(m, sl.max(axis=-1) + _SHIFT_SLACK)
+    # rows that can never run (length 0) still need a finite shift
+    return jnp.where(jnp.isfinite(a), a, 0.0)
 
 
 @functools.partial(
@@ -221,14 +323,21 @@ def _flash_tpu_packed_blocked(q, k, v, lens_b=None, num_heads: int = 6,
                               block_q: int = 512, block_k: int = 2048,
                               has_lens: bool = False,
                               interpret: bool = False):
-    """Online-softmax flash attention in the PACKED (B, T, H·D) layout —
-    the very-long-sequence path (key axis streamed in blocks, so the
-    whole K never has to fit VMEM), with zero caller-side transposes.
+    """MAX-FREE blocked flash attention in the PACKED (B, T, H·D)
+    layout — the very-long-sequence path (key axis streamed in blocks,
+    so the whole K never has to fit VMEM), with zero caller-side
+    transposes.
 
-    Grid (B, q_blocks, k_blocks), key axis innermost; per-head running
-    max and ones-augmented accumulators live in (H, block_q, ·) scratch
-    slabs that carry across the sequential key steps. ``lens_b`` is
-    (B,) per-row real frame counts.
+    Grid (B, q_blocks, k_blocks), key axis innermost; per-head
+    ones-augmented accumulators live in a (H, block_q, D+1) scratch slab
+    that carries across the sequential key steps. There is NO online
+    softmax: the exp2 shift is the precomputed per-row bound
+    ``_exp2_shift_bound`` (see its derivation — mathematically identical
+    to the running max by shift-invariance, production-safe on any
+    input), which deletes the per-block rowmax VPU pass, the running-max
+    scratch, and the accumulator alpha-rescale — measured 1.10x on-chip
+    at T=21600 (tools/vpu_probe.py, 6/6 paired interleaved rounds).
+    ``lens_b`` is (B,) per-row real frame counts.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -246,12 +355,17 @@ def _flash_tpu_packed_blocked(q, k, v, lens_b=None, num_heads: int = 6,
     # path (which scales the f32 score matrix). XLA fuses the
     # convert-mul-convert, so this costs nothing on device.
     qs = (q.astype(jnp.float32) * (d**-0.5 * _LOG2E)).astype(q.dtype)
+    # per-row exp2 shift, from the UNPADDED tensors: zero-padded keys
+    # must never enter the landmark set (a 0-score landmark would loosen
+    # the accuracy guarantee when every real score is very negative)
+    a_shift = _exp2_shift_bound(qs, k, h, lengths=lens_b)
     ones = jnp.ones((b, s, h, 1), v.dtype)
     va = jnp.concatenate(
         [v.reshape(b, s, h, d), ones], axis=-1
     ).reshape(b, s, h * (d + 1))
     if t_pad > t:
         qs = jnp.pad(qs, ((0, 0), (0, t_pad - t), (0, 0)))
+        a_shift = jnp.pad(a_shift, ((0, 0), (0, t_pad - t), (0, 0)))
     if s_pad > s:
         k = jnp.pad(k, ((0, 0), (0, s_pad - s), (0, 0)))
         va = jnp.pad(va, ((0, 0), (0, s_pad - s), (0, 0)))
@@ -261,25 +375,27 @@ def _flash_tpu_packed_blocked(q, k, v, lens_b=None, num_heads: int = 6,
     last_k = num_k - 1
     static_tail = s_pad > s
 
-    def body(lens_ref, q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr):
+    def body(lens_ref, q_ref, k_ref, v_ref, a_ref, o_ref, acc_scr):
         ki = pl.program_id(2)
 
         @pl.when(ki == 0)
         def _init():
-            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
         def _head_updates(mask_limit):
-            """One online-softmax update over this key block for every
+            """One max-free accumulate over this key block for every
             head. ``mask_limit``: traced column bound to mask scores at
             (None = every column of this block is real — no iota, no
             per-head where: at T=21600 that masking apparatus costs two
             extra VPU passes over each (block_q, block_k) f32 score
             block, paid 6 heads × every block when only the LAST block
-            straddles the static end)."""
+            straddles the static end). Masking is a where-ZERO applied
+            AFTER exp2 — a -inf score entering the clamp would be raised
+            to 2^-120 instead of killed."""
             qb = q_ref[0]  # (block_q, h·d), pre-scaled
             kb = k_ref[0]  # (block_k, h·d)
             vb = v_ref[0]  # (block_k, h·(d+1)) ones-augmented per head
+            ab = a_ref[0]  # (block_q, h) per-row exp2 shift
             col = None
             if mask_limit is not None:
                 col = ki * block_k + jax.lax.broadcasted_iota(
@@ -292,19 +408,17 @@ def _flash_tpu_packed_blocked(q, k, v, lens_b=None, num_heads: int = 6,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                p = jnp.exp2(
+                    jnp.maximum(s2 - ab[:, hh:hh + 1], _SHIFT_CLAMP)
+                )
                 if mask_limit is not None:
-                    s2 = jnp.where(col < mask_limit, s2, -jnp.inf)
-                m_prev = m_scr[hh]
-                m_new = jnp.maximum(m_prev, s2.max(axis=-1, keepdims=True))
-                p = jnp.exp2(s2 - m_new)
-                alpha = jnp.exp2(m_prev - m_new)
-                acc_scr[hh] = acc_scr[hh] * alpha + jax.lax.dot_general(
+                    p = jnp.where(col < mask_limit, p, 0.0)
+                acc_scr[hh] = acc_scr[hh] + jax.lax.dot_general(
                     p.astype(vb.dtype),
                     vb[:, hh * (d + 1):(hh + 1) * (d + 1)],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                m_scr[hh] = m_new
 
         if has_lens:
             row_len = lens_ref[pl.program_id(0)]
@@ -349,14 +463,12 @@ def _flash_tpu_packed_blocked(q, k, v, lens_b=None, num_heads: int = 6,
         pl.BlockSpec(
             (1, block_k, h * (d + 1)), lambda bi, qi, ki, *_: (bi, ki, 0)
         ),
+        pl.BlockSpec((1, block_q, h), lambda bi, qi, ki, *_: (bi, qi, 0)),
     ]
     out_spec = pl.BlockSpec(
         (1, block_q, inner), lambda bi, qi, ki, *_: (bi, qi, 0)
     )
-    scratch = [
-        pltpu.VMEM((h, block_q, 1), jnp.float32),
-        pltpu.VMEM((h, block_q, d + 1), jnp.float32),
-    ]
+    scratch = [pltpu.VMEM((h, block_q, d + 1), jnp.float32)]
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
     )
@@ -381,10 +493,11 @@ def _flash_tpu_packed_blocked(q, k, v, lens_b=None, num_heads: int = 6,
             compiler_params=params,
             cost_estimate=cost,
             interpret=interpret,
-        )(jnp.asarray(lens_b, jnp.int32), qs, k, va)
+        )(jnp.asarray(lens_b, jnp.int32), qs, k, va,
+          a_shift.astype(jnp.float32))
     else:
-        def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr):
-            body(None, q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr)
+        def kernel(q_ref, k_ref, v_ref, a_ref, o_ref, acc_scr):
+            body(None, q_ref, k_ref, v_ref, a_ref, o_ref, acc_scr)
 
         out = pl.pallas_call(
             kernel,
@@ -396,7 +509,7 @@ def _flash_tpu_packed_blocked(q, k, v, lens_b=None, num_heads: int = 6,
             compiler_params=params,
             cost_estimate=cost,
             interpret=interpret,
-        )(qs, k, va)
+        )(qs, k, va, a_shift.astype(jnp.float32))
 
     return out[:, :t]
 

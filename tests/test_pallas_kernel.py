@@ -169,3 +169,151 @@ def test_packed_blocked_flash_wide_model():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+# --- max-free blocked kernel: exp2-shift-bound safety properties --------
+#
+# The blocked kernel's exp2 shift is a precomputed per-row bound
+# (pallas_attention._exp2_shift_bound) instead of an online running max.
+# These tests pin the adversarial regimes the construction was designed
+# for — a naive Cauchy-Schwarz-bound-with-clamp shift SILENTLY collapses
+# toward uniform attention in each of them (the bound goes
+# clamp-units loose), which is exactly why production uses
+# min(CS bound, landmark max + slack).
+
+
+def _flat(q, k, v):
+    b, t, h, d = q.shape
+    return (
+        q.reshape(b, t, h * d),
+        k.reshape(b, k.shape[1], h * d),
+        v.reshape(b, v.shape[1], h * d),
+    )
+
+
+def test_blocked_shift_outlier_key_missed_by_landmarks():
+    """One 50x-norm key at an index OFF the landmark stride: the
+    Cauchy-Schwarz bound is ~300 log2 units loose for every row, but the
+    min(M, L+slack) shift keeps the result exact (clamped entries carry
+    < 2^-40 of the true mass)."""
+    b, h, d, t = 1, 2, 32, 384
+    q, k, v = _qkv(t, t, b=b, h=h, d=d)
+    k = k.at[:, 100].multiply(50.0)  # 100 is not a multiple of 256
+    ref = _dense_reference(q, k, v).reshape(b, t, h * d)
+    got = _flash_tpu_packed_blocked(
+        *_flat(q, k, v), num_heads=h, block_q=128, block_k=128,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    assert np.all(np.isfinite(np.asarray(got)))
+
+
+def test_blocked_shift_aligned_maxnorm_outlier():
+    """A query row strongly ALIGNED with a huge-norm key (the attention-
+    sink shape: true max score towers over every strided landmark). The
+    max-norm key is always in the landmark set, so L is tight and the
+    output stays exact — softmax here is effectively one-hot on the
+    outlier key."""
+    b, h, d, t = 1, 2, 32, 384
+    q, k, v = _qkv(t, t, b=b, h=h, d=d)
+    k = k.at[:, 37].set(40.0 * q[:, 5] / jnp.linalg.norm(
+        q[:, 5], axis=-1, keepdims=True))
+    ref = _dense_reference(q, k, v).reshape(b, t, h * d)
+    got = _flash_tpu_packed_blocked(
+        *_flat(q, k, v), num_heads=h, block_q=128, block_k=128,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_blocked_shift_all_scores_very_negative():
+    """Every real score far below zero (queries anti-aligned with a
+    common key direction): the shift must follow the scores DOWN — a
+    0-score phantom landmark (e.g. from zero padding) would pin the
+    shift ~64 units above the true max and clamp away the entire row."""
+    b, h, d, t = 1, 2, 32, 300  # t=300 also straddles the key blocks
+    base = jax.random.normal(jax.random.PRNGKey(7), (1, 1, h, d))
+    base = base / jnp.linalg.norm(base, axis=-1, keepdims=True)
+    noise = 0.05 * jax.random.normal(jax.random.PRNGKey(8), (b, t, h, d))
+    k = 12.0 * base + noise
+    q = -12.0 * base + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(9), (b, t, h, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, d))
+    ref = _dense_reference(q, k, v).reshape(b, t, h * d)
+    got = _flash_tpu_packed_blocked(
+        *_flat(q, k, v), num_heads=h, block_q=128, block_k=128,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_blocked_shift_garbage_beyond_runtime_lengths():
+    """Runtime-length mode with HUGE garbage in the padded key region:
+    padded keys must influence neither the landmark max (would loosen or
+    falsely tighten the shift) nor the max-norm candidate, and the
+    where-zero mask must kill them after exp2."""
+    b, h, d, t = 2, 2, 32, 384
+    q, k, v = _qkv(t, t, b=b, h=h, d=d)
+    lengths = np.array([384, 200], np.int32)
+    # poison the padded tail of row 1 with enormous values
+    k = k.at[1, 200:].set(1e4)
+    v = v.at[1, 200:].set(1e4)
+    ref = _dense_reference(q, k, v, lengths=lengths).reshape(b, t, h * d)
+    got = _flash_tpu_packed_blocked(
+        *_flat(q, k, v), jnp.asarray(lengths), num_heads=h,
+        block_q=128, block_k=128, has_lens=True, interpret=True,
+    )
+    for i, n in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(got)[i, :n], np.asarray(ref)[i, :n],
+            atol=2e-5, rtol=1e-4,
+        )
+    assert np.all(np.isfinite(np.asarray(got)))
+
+
+def test_blocked_shift_zero_length_row():
+    """A zero-length row: no key block ever runs, the shift's isfinite
+    guard keeps A finite, and the finalize zero-fills (no 0/0)."""
+    b, h, d, t = 2, 2, 32, 256
+    q, k, v = _qkv(t, t, b=b, h=h, d=d)
+    lengths = np.array([256, 0], np.int32)
+    got = np.asarray(_flash_tpu_packed_blocked(
+        *_flat(q, k, v), jnp.asarray(lengths), num_heads=h,
+        block_q=128, block_k=128, has_lens=True, interpret=True,
+    ))
+    ref = _dense_reference(q, k, v).reshape(b, t, h * d)
+    np.testing.assert_allclose(got[0], np.asarray(ref)[0],
+                               atol=2e-5, rtol=1e-4)
+    assert np.all(got[1] == 0.0)
+    assert np.all(np.isfinite(got))
+
+
+def test_shift_bound_accuracy_envelope():
+    """The unconditional guarantee the kernel relies on:
+    A <= truemax + _SHIFT_SLACK for every row/head, on random data, on
+    every adversarial shape above, and WITH runtime lengths."""
+    from said_tpu.ops.pallas_attention import (
+        _LOG2E,
+        _SHIFT_SLACK,
+        _exp2_shift_bound,
+    )
+
+    b, h, d, t = 2, 2, 32, 384
+    q, k, _ = _qkv(t, t, b=b, h=h, d=d)
+    k = k.at[0, 100].multiply(50.0)
+    k = k.at[1, 301].set(-30.0)
+    lengths = jnp.asarray([384, 320], jnp.int32)
+    qf = (q * (d**-0.5 * _LOG2E)).reshape(b, t, h * d)
+    a = _exp2_shift_bound(qf, k.reshape(b, t, h * d), h, lengths=lengths)
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q.astype(jnp.float32) * (d**-0.5 * _LOG2E),
+        k.astype(jnp.float32),
+    )
+    valid = jnp.arange(t)[None, :] < lengths[:, None]
+    scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
+    truemax = scores.max(axis=-1).transpose(0, 2, 1)  # (b, t, h)
+    slack = np.asarray(a - truemax)
+    assert slack.max() <= _SHIFT_SLACK + 1.0 + 1e-3  # +1 = the CS slop pad
