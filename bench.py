@@ -724,13 +724,20 @@ def main() -> None:
         _emit("rtf_1000step_b1_360s", secs / wall, "x_realtime")
         # Companion ANALYTIC CEILING so the number above reads against
         # physics, not against the 10x north-star bar: at T=21600 the
-        # step is ~90% attention with head_dim 32 (25% MXU fill cap;
-        # the packed kernel measures ~87% of that cap), giving ≈5.4x as
-        # the exact-mode single-chip ceiling (BASELINE.md derivation).
-        # int8 QK^T and int8-PV are measured NO-GOs on this chip
-        # (tools/int8_qk_probe.py; commits 0351c25/dca55cb/bd65186).
-        # Production answers for 6-min clips: streaming (~16x) and
-        # DPM++ (~95x) below; SP across chips for exact mode.
+        # step is ~90% attention with head_dim 32, giving ≈5.4x as the
+        # exact-mode single-chip ceiling (BASELINE.md derivation). The
+        # r5 max-free blocked kernel (bound-shift exp2, rowmax pass
+        # deleted — 1.08x on-chip, tools/promote_bound_check.py) brought
+        # the measured value to ~98% of this ceiling; the remaining
+        # in-kernel headroom decomposes to ~1% (deleting the exp2
+        # transcendental itself measured 1.009x, and bf16 score blocks
+        # 1.000x — tools/vpu_probe.py), so exact mode on one chip is at
+        # its practical floor. int8 QK^T and int8-PV are measured NO-GOs
+        # on this chip (tools/int8_qk_probe.py; commits
+        # 0351c25/dca55cb/bd65186), as is bound-shift for the full-K
+        # kernel (tools/fullk_bound_probe.py). Production answers for
+        # 6-min clips: streaming (~16x) and DPM++ (~95x) below; SP
+        # across chips for exact mode.
         _emit("rtf_1000step_b1_360s_ceiling", 5.4,
               "x_realtime_analytic_ceiling")
 

@@ -556,6 +556,13 @@ def _blocked_blocks(inner: int, h: int, itemsize: int):
 # CONSISTENTLY slower (median 19.03 vs 17.94 ms, 0/6 paired interleaved
 # rounds): at this shape the wider block's fewer grid steps / better
 # MXU pipelining outweigh 4% extra columns. Keep the tuned 2048.
+#
+# Bound-shift for the FULL-K kernel: MEASURED NO-GO (round 5,
+# tools/fullk_bound_probe.py, T=3600): 1.013x, 3/6 paired wins — noise.
+# The full-K kernel has no running-max scratch or alpha rescale to
+# delete, and its one rowmax pass is cheap at (block_q, 3.6k). The
+# max-free shift stays exclusive to the blocked long-clip kernel where
+# it measured 1.08x end-to-end (tools/promote_bound_check.py).
 
 
 def _dense_flat(q, k, v, num_heads: int, lengths=None):
